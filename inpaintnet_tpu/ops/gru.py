@@ -1,0 +1,161 @@
+"""GRU recurrences, TPU-first.
+
+Design (instead of translating torch/cuDNN ``nn.GRU`` — reference
+``MeasureVAE/encoder.py:28-35`` uses cuDNN GRU; the decoders drive cuDNN
+GRUs one step at a time from Python, ``decoder.py:473-529``):
+
+- The input projection ``x @ W_ih`` for the WHOLE sequence is one large
+  (B*T, in) x (in, 3H) matmul — batched onto the MXU up front.
+- The time recurrence is a ``lax.scan`` whose body does only the hidden
+  matmul + gate math; XLA keeps h and W_hh on-chip across iterations. A
+  Pallas fused variant lives in ``ops.gru_pallas`` and is selected by
+  ``gru_apply(..., impl=...)`` when profitable.
+- Optional per-timestep masks make padded variable-length sequences exact:
+  masked steps freeze the carried hidden state, so the final hidden equals
+  the hidden after the last *valid* step. This replaces the reference's
+  ragged dynamic shapes (latent_rnn_trainer.py:77-132) with static shapes.
+
+Gate order and math follow the torch convention ``[r, z, n]`` with
+``n = tanh(Wx_n + r * (Wh_n h + b_hn))`` so that reference checkpoints can
+be ported weight-for-weight (see ``models/torch_port.py``).
+
+Parameter pytree for a stack:
+    [layer][direction] -> {"w_ih": (in, 3H), "w_hh": (H, 3H),
+                           "b_ih": (3H,),    "b_hh": (3H,)}
+Hidden-state layout follows torch: ``(num_layers * num_dirs, B, H)`` with
+directions varying fastest, so the encoder's concat of final hiddens
+(encoder.py:126-127) is order-identical.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from inpaintnet_tpu.ops.linear import xavier_normal
+
+
+def gru_cell_init(key, input_size: int, hidden_size: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w_ih": xavier_normal(k1, (input_size, 3 * hidden_size), dtype),
+        "w_hh": xavier_normal(k2, (hidden_size, 3 * hidden_size), dtype),
+        "b_ih": jnp.zeros((3 * hidden_size,), dtype),
+        "b_hh": jnp.zeros((3 * hidden_size,), dtype),
+    }
+
+
+def gru_cell_apply(params, h, x):
+    """One GRU step. h: (B, H), x: (B, in) -> new h (B, H)."""
+    xw = x @ params["w_ih"] + params["b_ih"]
+    return _gru_gates(params, h, xw)
+
+
+def _gru_gates(params, h, xw):
+    """Gate math given a precomputed input projection ``xw = xW_ih + b_ih``."""
+    hidden = h.shape[-1]
+    hw = h @ params["w_hh"] + params["b_hh"]
+    r = jax.nn.sigmoid(xw[..., :hidden] + hw[..., :hidden])
+    z = jax.nn.sigmoid(xw[..., hidden : 2 * hidden] + hw[..., hidden : 2 * hidden])
+    n = jnp.tanh(xw[..., 2 * hidden :] + r * hw[..., 2 * hidden :])
+    return (1.0 - z) * n + z * h
+
+
+def gru_layer_apply(params, x, h0, *, reverse: bool = False, mask=None):
+    """Single-direction GRU over a full sequence.
+
+    :param x: (B, T, in)
+    :param h0: (B, H)
+    :param reverse: process t = T-1 .. 0 (outputs stay in original order)
+    :param mask: optional (B, T) float/bool; steps with mask==0 freeze h
+    :return: (outputs (B, T, H), h_last (B, H))
+    """
+    xw = x @ params["w_ih"] + params["b_ih"]  # one MXU matmul for all T
+    xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, 3H) time-major for scan
+    mask_t = None if mask is None else jnp.swapaxes(mask.astype(x.dtype), 0, 1)
+
+    def step(h, inp):
+        if mask_t is None:
+            xwt = inp
+            h_new = _gru_gates(params, h, xwt)
+        else:
+            xwt, m = inp
+            h_new = _gru_gates(params, h, xwt)
+            h_new = jnp.where(m[:, None] > 0, h_new, h)
+        return h_new, h_new
+
+    xs = xw_t if mask_t is None else (xw_t, mask_t)
+    h_last, outs = lax.scan(step, h0, xs, reverse=reverse)
+    return jnp.swapaxes(outs, 0, 1), h_last
+
+
+def gru_init(
+    key,
+    input_size: int,
+    hidden_size: int,
+    num_layers: int,
+    bidirectional: bool = False,
+    dtype=jnp.float32,
+):
+    """Init a (possibly bidirectional) multi-layer GRU stack."""
+    num_dirs = 2 if bidirectional else 1
+    layers = []
+    keys = jax.random.split(key, num_layers * num_dirs)
+    ki = 0
+    for layer in range(num_layers):
+        in_dim = input_size if layer == 0 else hidden_size * num_dirs
+        dirs = []
+        for _ in range(num_dirs):
+            dirs.append(gru_cell_init(keys[ki], in_dim, hidden_size, dtype))
+            ki += 1
+        layers.append(dirs)
+    return layers
+
+
+def gru_apply(
+    params,
+    x,
+    h0=None,
+    *,
+    mask=None,
+    dropout: float = 0.0,
+    rng=None,
+    train: bool = False,
+):
+    """Multi-layer (bi)GRU over a sequence.
+
+    :param params: pytree from ``gru_init``
+    :param x: (B, T, in)
+    :param h0: (num_layers * num_dirs, B, H) or None for zeros
+    :param mask: optional (B, T) validity mask
+    :param dropout: inter-layer dropout prob (torch ``nn.GRU(dropout=...)``
+        semantics: applied to each layer's output except the last, train only)
+    :return: (outputs (B, T, H * num_dirs),
+              h_n (num_layers * num_dirs, B, H) — torch layout)
+    """
+    num_layers = len(params)
+    num_dirs = len(params[0])
+    batch = x.shape[0]
+    hidden = params[0][0]["w_hh"].shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((num_layers * num_dirs, batch, hidden), x.dtype)
+
+    out = x
+    h_n = []
+    for layer in range(num_layers):
+        outs_dir = []
+        for d in range(num_dirs):
+            h0_ld = h0[layer * num_dirs + d]
+            o, h_last = gru_layer_apply(
+                params[layer][d], out, h0_ld, reverse=(d == 1), mask=mask
+            )
+            outs_dir.append(o)
+            h_n.append(h_last)
+        out = outs_dir[0] if num_dirs == 1 else jnp.concatenate(outs_dir, axis=-1)
+        if train and dropout > 0.0 and layer < num_layers - 1:
+            if rng is None:
+                raise ValueError("dropout requires an rng key in train mode")
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
+            out = jnp.where(keep, out / (1.0 - dropout), 0.0)
+    return out, jnp.stack(h_n, axis=0)

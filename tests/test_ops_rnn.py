@@ -1,0 +1,120 @@
+"""Numerical parity of our scan-based GRU/LSTM against torch's cuDNN-layout
+RNNs (CPU). This is the foundation for porting reference checkpoints."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from inpaintnet_tpu.ops import (
+    gru_init,
+    gru_apply,
+    lstm_stack_init,
+    lstm_stack_apply,
+)
+from inpaintnet_tpu.ops.gru import gru_layer_apply
+
+
+def _copy_torch_gru_to_params(tg, params, num_layers, num_dirs):
+    """Copy torch nn.GRU weights into our pytree (transposed layout)."""
+    for layer in range(num_layers):
+        for d in range(num_dirs):
+            sfx = f"_l{layer}" + ("_reverse" if d == 1 else "")
+            p = params[layer][d]
+            p["w_ih"] = jnp.asarray(getattr(tg, f"weight_ih{sfx}").detach().numpy().T)
+            p["w_hh"] = jnp.asarray(getattr(tg, f"weight_hh{sfx}").detach().numpy().T)
+            p["b_ih"] = jnp.asarray(getattr(tg, f"bias_ih{sfx}").detach().numpy())
+            p["b_hh"] = jnp.asarray(getattr(tg, f"bias_hh{sfx}").detach().numpy())
+    return params
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_gru_matches_torch(bidirectional, num_layers):
+    torch.manual_seed(0)
+    B, T, IN, H = 3, 7, 5, 11
+    tg = torch.nn.GRU(
+        input_size=IN,
+        hidden_size=H,
+        num_layers=num_layers,
+        bidirectional=bidirectional,
+        batch_first=True,
+    )
+    num_dirs = 2 if bidirectional else 1
+    params = gru_init(jax.random.PRNGKey(0), IN, H, num_layers, bidirectional)
+    params = _copy_torch_gru_to_params(tg, params, num_layers, num_dirs)
+
+    x = np.random.RandomState(1).randn(B, T, IN).astype(np.float32)
+    with torch.no_grad():
+        t_out, t_hn = tg(torch.from_numpy(x))
+    j_out, j_hn = gru_apply(params, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_hn), t_hn.numpy(), atol=1e-5)
+
+
+def test_gru_mask_equals_truncated_sequence():
+    """Masked padded run == unpadded run (the static-shape trick used for
+    ragged past/future contexts)."""
+    key = jax.random.PRNGKey(42)
+    B, T, IN, H, VALID = 2, 10, 4, 8, 6
+    params = gru_init(key, IN, H, num_layers=2, bidirectional=True)
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, T, IN))
+    mask = jnp.concatenate(
+        [jnp.ones((B, VALID)), jnp.zeros((B, T - VALID))], axis=1
+    )
+    _, hn_masked = gru_apply(params, x, mask=mask)
+    _, hn_trunc = gru_apply(params, x[:, :VALID, :])
+    np.testing.assert_allclose(
+        np.asarray(hn_masked), np.asarray(hn_trunc), atol=1e-5
+    )
+
+
+def test_gru_layer_reverse_matches_flip():
+    key = jax.random.PRNGKey(3)
+    B, T, IN, H = 2, 5, 3, 4
+    params = gru_init(key, IN, H, 1, False)[0][0]
+    x = jax.random.normal(jax.random.PRNGKey(8), (B, T, IN))
+    h0 = jnp.zeros((B, H))
+    out_rev, h_rev = gru_layer_apply(params, x, h0, reverse=True)
+    out_flip, h_flip = gru_layer_apply(params, x[:, ::-1, :], h0)
+    np.testing.assert_allclose(
+        np.asarray(out_rev), np.asarray(out_flip)[:, ::-1, :], atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(h_rev), np.asarray(h_flip), atol=1e-6)
+
+
+def test_lstm_stack_matches_torch():
+    torch.manual_seed(0)
+    B, T, IN, H = 2, 6, 5, 9
+    layers = [torch.nn.LSTM(IN, H, batch_first=True), torch.nn.LSTM(H, H, batch_first=True)]
+    params = lstm_stack_init(jax.random.PRNGKey(0), [(IN, H), (H, H)])
+    for tl, p in zip(layers, params):
+        p["w_ih"] = jnp.asarray(tl.weight_ih_l0.detach().numpy().T)
+        p["w_hh"] = jnp.asarray(tl.weight_hh_l0.detach().numpy().T)
+        p["b_ih"] = jnp.asarray(tl.bias_ih_l0.detach().numpy())
+        p["b_hh"] = jnp.asarray(tl.bias_hh_l0.detach().numpy())
+
+    x = np.random.RandomState(5).randn(B, T, IN).astype(np.float32)
+    with torch.no_grad():
+        out = torch.from_numpy(x)
+        for tl in layers:
+            out, (h, c) = tl(out)
+    j_out, (j_hn, j_cn), _ = lstm_stack_apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(j_out), out.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_hn)[-1], h[0].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_cn)[-1], c[0].numpy(), atol=1e-5)
+
+
+def test_kl_matches_torch():
+    from inpaintnet_tpu.ops import DiagNormal, kl_diag_normal_vs_standard
+
+    rs = np.random.RandomState(0)
+    loc = rs.randn(4, 6).astype(np.float32)
+    scale = np.exp(rs.randn(4, 6)).astype(np.float32)
+    ours = kl_diag_normal_vs_standard(DiagNormal(jnp.asarray(loc), jnp.asarray(scale)))
+    theirs = torch.distributions.kl.kl_divergence(
+        torch.distributions.Normal(torch.from_numpy(loc), torch.from_numpy(scale)),
+        torch.distributions.Normal(torch.zeros(4, 6), torch.ones(4, 6)),
+    )
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=1e-5)

@@ -1,0 +1,175 @@
+"""Folk corpus ingestion: The Session dump -> validated Score iterators.
+
+TPU-native counterpart of ``FolkIteratorGenerator``
+(folk_data_helpers.py:124-560). Differences by design:
+
+- parsing uses the framework's own ABC parser (no music21);
+- the corpus dump location is an explicit argument (no network download —
+  the reference shells out to wget, folk_data_helpers.py:204-210);
+- the valid-file list is cached to ``<repr>valid_filepaths.txt`` with the
+  same naming scheme so reference-shipped lists can be reused;
+- all randomness is seeded.
+
+Validity rules replicated from folk_data_helpers.py:248-349: title present,
+single voice, no chord symbols, a single allowed time signature, notes
+present, at most ``MAX_NOTES`` notes, no 32nd/64th notes, repeats expand,
+and every note offset on the 6-per-beat tick grid.
+"""
+from __future__ import annotations
+
+import os
+from fractions import Fraction
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+from inpaintnet_tpu.data.abc_parser import AbcParseError, parse_abc
+from inpaintnet_tpu.data.score import Score
+from inpaintnet_tpu.data.tokenizer import TICK_VALUES
+
+MAX_NOTES = 140  # folk_data_helpers.py:31
+
+
+def split_raw_dump(dump_path: str, out_dir: str) -> int:
+    """Split a sessions_data_clean.txt-style dump (blank-line separated)
+    into per-tune ``tune_<i>.abc`` files (folk_data_helpers.py:212-228).
+    Returns the number of tunes written."""
+    os.makedirs(out_dir, exist_ok=True)
+    index = 0
+    buf: List[str] = []
+
+    def flush():
+        nonlocal index, buf
+        with open(os.path.join(out_dir, f"tune_{index}.abc"), "w") as f:
+            f.writelines(buf)
+        index += 1
+        buf = []
+
+    with open(dump_path) as f:
+        for line in f:
+            if line == "\n":
+                flush()
+            else:
+                buf.append(line)
+    flush()
+    return index
+
+
+def _tune_has_title(text: str) -> bool:
+    return any(line.startswith("T:") for line in text.splitlines())
+
+
+def _tune_is_multivoice(text: str) -> bool:
+    # folk_data_helpers.py:544-560
+    for line in text.splitlines():
+        if line.replace(" ", "").startswith("V:2"):
+            return True
+    return False
+
+
+def _tune_contains_chords(text: str) -> bool:
+    return '"' in text  # folk_data_helpers.py:532-542
+
+
+def _has_forbidden_durations(score: Score) -> bool:
+    """Reject 32nd/64th notes (folk_data_helpers.py:308-319). On our IR this
+    is a direct duration check: < 1/8 quarterLength."""
+    return any(n.is_note and n.duration < Fraction(1, 8) for n in score.notes)
+
+
+class FolkCorpus:
+    """Iterator over validated folk tunes as Score objects."""
+
+    def __init__(
+        self,
+        raw_dir: str,
+        num_elements: Optional[int] = None,
+        time_sigs: Sequence[Tuple[int, int]] = ((4, 4),),
+        cache_dir: Optional[str] = None,
+    ):
+        self.raw_dir = raw_dir
+        self.num_elements = num_elements if num_elements is not None else 25000
+        self.time_sigs = [tuple(ts) for ts in time_sigs]
+        self.cache_dir = cache_dir or raw_dir
+        self.valid_files_list = os.path.join(
+            self.cache_dir, repr(self) + "valid_filepaths.txt"
+        )
+        self._valid_tune_filenames: Optional[List[str]] = None
+
+    def __repr__(self):
+        # Mirrors FolkIteratorGenerator.__repr__ (folk_data_helpers.py:189-202)
+        ts = str([tuple(t) for t in self.time_sigs]).replace(" ", "")
+        return f"FolkItGen({ts})"
+
+    # ------------------------------------------------------------------ #
+    @property
+    def valid_tune_filenames(self) -> List[str]:
+        if self._valid_tune_filenames is None:
+            self._valid_tune_filenames = self._get_valid_tune_filenames()
+        return self._valid_tune_filenames
+
+    def _get_valid_tune_filenames(self) -> List[str]:
+        if os.path.exists(self.valid_files_list):
+            with open(self.valid_files_list) as f:
+                return [line.rstrip("\n") for line in f]
+        names = sorted(
+            (
+                fn
+                for fn in os.listdir(self.raw_dir)
+                if fn.startswith("tune") and fn.endswith(".abc")
+            ),
+            key=lambda s: (len(s), s),
+        )
+        valid = [fn for fn in names if self.is_valid(os.path.join(self.raw_dir, fn))]
+        os.makedirs(os.path.dirname(self.valid_files_list) or ".", exist_ok=True)
+        with open(self.valid_files_list, "w") as f:
+            for fn in valid:
+                f.write(fn + "\n")
+        return valid
+
+    def is_valid(self, path: str) -> bool:
+        try:
+            with open(path) as f:
+                text = f.read()
+        except OSError:
+            return False
+        if not _tune_has_title(text):
+            return False
+        if _tune_is_multivoice(text) or _tune_contains_chords(text):
+            return False
+        try:
+            score = parse_abc(text, expand_repeats=False)
+            if tuple(score.time_signature) not in self.time_sigs:
+                return False
+            if not score.pitches_midi():
+                return False
+            if len(score.notes) > MAX_NOTES:
+                return False
+            if _has_forbidden_durations(score):
+                return False
+            expanded = self.get_score_from_path(path, fix_and_expand=True)
+            if not expanded.on_ticks(TICK_VALUES):
+                return False
+        except (AbcParseError, ValueError, ZeroDivisionError, KeyError, IndexError):
+            return False
+        return True
+
+    def get_score_from_path(self, path: str, fix_and_expand: bool = False) -> Score:
+        """(folk_data_helpers.py:351-364)"""
+        with open(path) as f:
+            score = parse_abc(f.read(), expand_repeats=fix_and_expand)
+        if fix_and_expand:
+            score = score.fix_pick_up_measure().fix_last_measure()
+        return score
+
+    def __call__(self) -> Iterator[Score]:
+        return self.score_generator()
+
+    def score_generator(self) -> Iterator[Score]:
+        for i, fn in enumerate(self.valid_tune_filenames):
+            if i >= self.num_elements:
+                break
+            try:
+                yield self.get_score_from_path(
+                    os.path.join(self.raw_dir, fn), fix_and_expand=True
+                )
+            except (AbcParseError, ValueError, ZeroDivisionError) as e:  # pragma: no cover
+                print(f"{fn} is not parsable: {e}")

@@ -89,6 +89,34 @@ def gru_layer_apply(params, x, h0, *, reverse: bool = False, mask=None):
     return jnp.swapaxes(outs, 0, 1), h_last
 
 
+def gru_stack_cell_apply(params, h, x, *, dropout=0.0, rng=None, train=False):
+    """One step through a stack of unidirectional GRU layers.
+
+    Used by the sequential sampling decoders where the next input depends on
+    the sampled token. ``params`` is a ``gru_init(..., bidirectional=False)``
+    pytree; h: (num_layers, B, H); x: (B, in). Inter-layer dropout matches
+    torch semantics (fresh mask per step, as torch draws per forward call).
+
+    :return: (new h (num_layers, B, H), top-layer output (B, H))
+    """
+    num_layers = len(params)
+    new_h = []
+    inp = x
+    for layer in range(num_layers):
+        p = params[layer][0]
+        xw = inp @ p["w_ih"] + p["b_ih"]
+        h_l = _gru_gates(p, h[layer], xw)
+        new_h.append(h_l)
+        inp = h_l
+        if train and dropout > 0.0 and layer < num_layers - 1:
+            if rng is None:
+                raise ValueError("dropout requires an rng key in train mode")
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, inp.shape)
+            inp = jnp.where(keep, inp / (1.0 - dropout), 0.0)
+    return jnp.stack(new_h), inp
+
+
 def gru_init(
     key,
     input_size: int,

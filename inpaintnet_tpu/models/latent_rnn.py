@@ -1,0 +1,324 @@
+"""LatentRNN (InpaintNet): latent-space traversal over a frozen MeasureVAE.
+
+TPU-first redesign of ``LatentRNN/latent_rnn.py:11-307`` and
+``latent_rnn_ablations.py``:
+
+- The reference takes ragged (num_past, num_target, num_future) tensors and
+  recompiles nothing because it is eager torch. Under XLA every shape is a
+  compilation, so here past/future contexts live in FIXED buffers of
+  ``max_measures`` with per-example validity masks, and the target in a
+  ``max_target`` buffer. Mask-aware GRU scans (ops/gru.py) make the padded
+  runs exactly equal the unpadded ones; losses mask invalid positions.
+- ``get_z_seq`` (latent_rnn.py:161-174) becomes one batched encoder call
+  over B*M measures; the quirk of re-sampling (rsample, not mean) at
+  inference is kept.
+- Generation modes (latent_rnn.py:211-263):
+    * non-autoregressive (shipped config): one bidirectional GRU pass over
+      a learned constant input, then the frozen VAE decoder on every
+      predicted z — all ``max_target`` measures decoded as ONE batch.
+    * autoregressive teacher-forced: one GRU pass over [z_past_last,
+      z_target[:-1]].
+    * autoregressive sampled: ``lax.scan`` over measures, each step decoding
+      a measure (inner 24-step scan) and re-encoding its sampled tokens.
+- VAE params enter through ``stop_gradient`` — the functional equivalent of
+  the reference's ``requires_grad=False`` freeze (latent_rnn.py:42-44).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from inpaintnet_tpu.models.base import Model
+from inpaintnet_tpu.models.measure_vae import (
+    MeasureVAE,
+    NUM_TICKS_PER_MEASURE,
+)
+from inpaintnet_tpu.ops import gru_apply, gru_init, linear_apply, linear_init
+
+
+class LatentRNN(Model):
+    def __init__(
+        self,
+        dataset,
+        vae_model: MeasureVAE,
+        num_rnn_layers: int,
+        rnn_hidden_size: int,
+        dropout: float,
+        auto_reg: bool = False,
+        teacher_forcing: bool = True,
+        max_target: int = 6,
+        checkpoint_dir: Optional[str] = None,
+    ):
+        super().__init__(checkpoint_dir=checkpoint_dir)
+        self.dataset_repr = repr(dataset)
+        self.vae_model = vae_model
+        self.auto_reg = auto_reg
+        self.use_teacher_forcing = teacher_forcing if auto_reg else False
+        self.teacher_forcing_prob = 0.5
+        self.num_rnn_layers = num_rnn_layers
+        self.rnn_hidden_size = rnn_hidden_size
+        self.dropout = dropout
+        self.z_dim = vae_model.latent_space_dim
+        self.bidirectional = True
+        self.num_directions = 2
+        self.max_target = max_target
+        self.measure_seq_len = NUM_TICKS_PER_MEASURE
+
+    def __repr__(self):
+        s = (
+            f"LatentRNN({self.dataset_repr}GRU,{self.num_rnn_layers},"
+            f"{self.rnn_hidden_size},{self.dropout},)"
+        )
+        if self.auto_reg:
+            s += "auto_reg"
+        s += ",tf" if self.use_teacher_forcing else ",no_tf"
+        return s
+
+    # --- params ------------------------------------------------------------ #
+    @property
+    def gen_hidden_size(self) -> int:
+        # generation RNN hidden = H * num_layers (latent_rnn.py:75-82)
+        return self.rnn_hidden_size * self.num_rnn_layers
+
+    def init_params(self, key):
+        keys = jax.random.split(key, 5)
+        gen_in = self.z_dim if self.auto_reg else 1
+        params = {
+            "context_rnn_past": gru_init(
+                keys[0], self.z_dim, self.rnn_hidden_size, self.num_rnn_layers, True
+            ),
+            "context_rnn_future": gru_init(
+                keys[1], self.z_dim, self.rnn_hidden_size, self.num_rnn_layers, True
+            ),
+            "generation_rnn": gru_init(
+                keys[2], gen_in, self.gen_hidden_size, self.num_rnn_layers, True
+            ),
+            "generation_linear": linear_init(
+                keys[3], 2 * self.rnn_hidden_size * self.num_directions, self.z_dim
+            ),
+        }
+        if not self.auto_reg:
+            params["x_0"] = jax.random.normal(keys[4], (1, 1, 1))
+        return params
+
+    # --- submodules ---------------------------------------------------------- #
+    def get_z_seq(self, vae_params, measures_tensor, *, train, rng):
+        """(B, M, 24) tokens -> (B, M, z): one batched frozen-encoder call
+        (latent_rnn.py:161-174; rsample kept deliberately)."""
+        batch, num_measures, msl = measures_tensor.shape
+        r_enc, r_z = jax.random.split(rng)
+        flat = measures_tensor.reshape(batch * num_measures, msl)
+        z_dist = self.vae_model.encoder.apply(
+            vae_params["encoder"], flat, train=train, rng=r_enc
+        )
+        z = z_dist.rsample(r_z)
+        return z.reshape(batch, num_measures, self.z_dim)
+
+    def forward_context(self, params, z, mask, which: str, *, train, rng):
+        """Final bi-GRU hidden over a masked latent sequence
+        (latent_rnn.py:176-209). Returns (L*2, B, H)."""
+        p = params["context_rnn_past" if which == "past" else "context_rnn_future"]
+        _, h_n = gru_apply(p, z, mask=mask, dropout=self.dropout, rng=rng, train=train)
+        return h_n
+
+    # --- main forward ---------------------------------------------------------- #
+    def apply(
+        self,
+        params,
+        vae_params,
+        past_context,
+        future_context,
+        target,
+        *,
+        past_mask=None,
+        future_mask=None,
+        target_mask=None,
+        train: bool = True,
+        rng=None,
+    ):
+        """Forward pass (latent_rnn.py:110-159).
+
+        :param past_context: (B, Mp, 24) int tokens, padded; mask (B, Mp)
+        :param future_context: (B, Mf, 24), padded; mask (B, Mf)
+        :param target: (B, Mt, 24) ground-truth target (Mt == max_target
+            padded) or None at pure inference with ``target_mask`` given
+        :return: (weights (B, Mt, 24, V), samples (B, Mt, 24),
+                  gen_z (B, Mt, z))
+        """
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        vae_params = jax.tree_util.tree_map(lax.stop_gradient, vae_params)
+        batch, max_past, msl = past_context.shape
+        if past_mask is None:
+            past_mask = jnp.ones((batch, max_past))
+        if future_mask is None:
+            future_mask = jnp.ones((batch, future_context.shape[1]))
+        if target_mask is None:
+            target_mask = jnp.ones((batch, target.shape[1]))
+
+        keys = jax.random.split(rng, 8)
+        zp = self.get_z_seq(vae_params, past_context, train=train, rng=keys[0])
+        zf = self.get_z_seq(vae_params, future_context, train=train, rng=keys[1])
+        if target is not None:
+            zt = self.get_z_seq(vae_params, target, train=train, rng=keys[2])
+        else:
+            zt = jnp.zeros((batch, target_mask.shape[1], self.z_dim))
+
+        ctx_p = self.forward_context(params, zp, past_mask, "past", train=train, rng=keys[3])
+        ctx_f = self.forward_context(params, zf, future_mask, "future", train=train, rng=keys[4])
+        comb_context = self._combine_contexts(ctx_p, ctx_f)
+
+        # last VALID past measure's z (latent_rnn.py:149-151)
+        last_idx = jnp.maximum(past_mask.sum(axis=1).astype(jnp.int32) - 1, 0)
+        zp_last = jnp.take_along_axis(zp, last_idx[:, None, None], axis=1)  # (B,1,z)
+
+        if self.use_teacher_forcing and train:
+            coin = jax.random.bernoulli(keys[5], self.teacher_forcing_prob)
+        else:
+            coin = jnp.asarray(False)
+
+        if not self.auto_reg:
+            return self._generate_parallel(
+                params, vae_params, comb_context, target_mask,
+                seed=None, train=train, rng=keys[6],
+            )
+        # auto-regressive: TF single-pass vs sampled scan
+        seed_tf = jnp.concatenate([zp_last, zt[:, :-1, :]], axis=1)
+        return lax.cond(
+            coin,
+            lambda: self._generate_parallel(
+                params, vae_params, comb_context, target_mask,
+                seed=seed_tf, train=train, rng=keys[6],
+            ),
+            lambda: self._generate_autoregressive(
+                params, vae_params, comb_context, target_mask,
+                seed=zp_last, train=train, rng=keys[7],
+            ),
+        )
+
+    def _combine_contexts(self, ctx_p, ctx_f):
+        # concat on the hidden-feature axis (latent_rnn.py:140)
+        return jnp.concatenate([ctx_p, ctx_f], axis=2)
+
+    # --- generation paths --------------------------------------------------------- #
+    def _decode_measures(self, vae_params, z_flat, *, rng):
+        """Frozen-VAE decode of (N, z) latents -> (logits (N,24,V),
+        samples (N,24)); train=False/argmax like the reference
+        (latent_rnn.py:236-240)."""
+        return self.vae_model.decoder.decode_sampling(
+            vae_params["decoder"], z_flat, train=False, rng=rng
+        )
+
+    def _generate_parallel(
+        self, params, vae_params, context, target_mask, *, seed, train, rng
+    ):
+        """Single bidirectional GRU pass over the target steps
+        (latent_rnn.py:230-240): non-autoregressive (constant input) or
+        teacher-forced (seed inputs)."""
+        batch = context.shape[1]
+        max_t = target_mask.shape[1]
+        r_gru, r_dec = jax.random.split(rng)
+        if seed is None:
+            gen_in = jnp.broadcast_to(params["x_0"], (batch, max_t, 1))
+        else:
+            gen_in = seed
+        gen_out, _ = gru_apply(
+            params["generation_rnn"], gen_in, context,
+            mask=target_mask, dropout=self.dropout, rng=r_gru, train=train,
+        )  # (B, Mt, genH * 2)
+        z_out = linear_apply(params["generation_linear"], gen_out)  # (B, Mt, z)
+        z_flat = z_out.reshape(batch * max_t, self.z_dim)
+        logits, samples = self._decode_measures(vae_params, z_flat, rng=r_dec)
+        V = logits.shape[-1]
+        return (
+            logits.reshape(batch, max_t, self.measure_seq_len, V),
+            samples.reshape(batch, max_t, self.measure_seq_len),
+            z_out,
+        )
+
+    def _generate_autoregressive(
+        self, params, vae_params, context, target_mask, *, seed, train, rng
+    ):
+        """Sampled decode->re-encode loop (latent_rnn.py:241-260) as a
+        ``lax.scan`` over target measures."""
+        batch = context.shape[1]
+        max_t = target_mask.shape[1]
+        step_keys = jax.random.split(rng, max_t)
+
+        def step(carry, key):
+            hidden, gen_in = carry
+            k_gru, k_dec, k_enc = jax.random.split(key, 3)
+            gen_out, hidden = gru_apply(
+                params["generation_rnn"], gen_in, hidden,
+                dropout=self.dropout, rng=k_gru, train=train,
+            )
+            z = linear_apply(params["generation_linear"], gen_out[:, 0, :])
+            logits, samples = self._decode_measures(vae_params, z, rng=k_dec)
+            next_in = self.get_z_seq(
+                vae_params, samples[:, None, :], train=train, rng=k_enc
+            )
+            return (hidden, next_in), (logits, samples, z)
+
+        carry0 = (context, seed)
+        _, (logits, samples, z_out) = lax.scan(step, carry0, step_keys)
+        # (Mt, B, ...) -> (B, Mt, ...)
+        return (
+            jnp.transpose(logits, (1, 0, 2, 3)),
+            jnp.transpose(samples, (1, 0, 2)),
+            jnp.transpose(z_out, (1, 0, 2)),
+        )
+
+    # stateful convenience (testers / generation scripts)
+    def __call__(self, past_context, future_context, target=None, target_mask=None,
+                 train=False, rng=None, past_mask=None, future_mask=None):
+        return self.apply(
+            self.params,
+            self.vae_model.params,
+            past_context,
+            future_context,
+            target,
+            past_mask=past_mask,
+            future_mask=future_mask,
+            target_mask=target_mask,
+            train=train,
+            rng=rng,
+        )
+
+
+class LatentRNNAblations(LatentRNN):
+    """Past-only / future-only conditioning ablation
+    (latent_rnn_ablations.py:11-313): one context feeds the generation RNN,
+    whose hidden is ``rnn_hidden_size`` (not scaled by layers)."""
+
+    def __init__(self, *args, type: str = "past", **kwargs):
+        self.type = type  # read by __repr__ during super().__init__
+        super().__init__(*args, **kwargs)
+        assert type in ("past", "future")
+
+    def __repr__(self):
+        s = (
+            f"LatentRNN({self.type}{self.dataset_repr}GRU,{self.num_rnn_layers},"
+            f"{self.rnn_hidden_size},{self.dropout},)"
+        )
+        if self.auto_reg:
+            s += "auto_reg"
+        s += ",tf" if self.use_teacher_forcing else ",no_tf"
+        return s
+
+    @property
+    def gen_hidden_size(self) -> int:
+        return self.rnn_hidden_size  # latent_rnn_ablations.py:77-85
+
+    def init_params(self, key):
+        params = super().init_params(key)
+        # generation_linear input = H * num_directions (ablations.py:85)
+        k = jax.random.split(key, 6)[5]
+        params["generation_linear"] = linear_init(
+            k, self.rnn_hidden_size * self.num_directions, self.z_dim
+        )
+        return params
+
+    def _combine_contexts(self, ctx_p, ctx_f):
+        return ctx_p if self.type == "past" else ctx_f

@@ -1,0 +1,147 @@
+"""Benchmark: measures inpainted / sec / chip (the BASELINE.json metric).
+
+Workload = the listening-test generation config of the reference
+(script_gen_diff_models.py:141-148): past 6 / target 4 / future 6 measures,
+LatentRNN non-autoregressive inpainting (the shipped config,
+script_gen_diff_models.py:178) over a frozen full-size MeasureVAE
+(512-hidden GRUs, z=256).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is TPU throughput over single-process CPU throughput of the
+same program (the reference is a CPU/single-GPU eager-torch pipeline with
+no published numbers — BASELINE.md pins "≥20x CPU inpainting throughput"
+as the target), with the CPU number measured once and cached in
+``bench_baseline.json``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BATCH = 512
+N_PAST, N_TARGET, N_FUTURE = 6, 4, 6
+WARMUP, ITERS = 2, 10
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+
+
+def measure_throughput() -> dict:
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as g
+
+    ds, vae, model = g._build_models()
+    vocab = 60
+    rng = np.random.RandomState(0)
+    n_bars, max_t = 16, 6
+    past = np.zeros((BATCH, n_bars, 24), np.int32)
+    future = np.zeros((BATCH, n_bars, 24), np.int32)
+    target = np.zeros((BATCH, max_t, 24), np.int32)
+    past[:, :N_PAST] = rng.randint(0, vocab, (BATCH, N_PAST, 24))
+    future[:, :N_FUTURE] = rng.randint(0, vocab, (BATCH, N_FUTURE, 24))
+    target[:, :N_TARGET] = rng.randint(0, vocab, (BATCH, N_TARGET, 24))
+    pm = (np.arange(n_bars) < N_PAST)[None].repeat(BATCH, 0).astype(np.float32)
+    fm = (np.arange(n_bars) < N_FUTURE)[None].repeat(BATCH, 0).astype(np.float32)
+    tm = (np.arange(max_t) < N_TARGET)[None].repeat(BATCH, 0).astype(np.float32)
+
+    @jax.jit
+    def inpaint(params, vae_params, past, pm, future, fm, target, tm, key):
+        w, samples, z = model.apply(
+            params, vae_params, past, future, target,
+            past_mask=pm, future_mask=fm, target_mask=tm, train=False, rng=key,
+        )
+        return samples
+
+    args = (model.params, vae.params, past, pm, future, fm, target, tm)
+    key = jax.random.PRNGKey(0)
+    for _ in range(WARMUP):
+        inpaint(*args, key).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = inpaint(*args, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+    measures_per_sec = BATCH * N_TARGET / dt
+
+    # p50 latency of a single 2-measure inpaint (batch 1)
+    small = tuple(
+        a[:1] if hasattr(a, "shape") and a.shape and a.shape[0] == BATCH else a
+        for a in args
+    )
+    tm1 = np.zeros_like(np.asarray(small[7]))
+    tm1[:, :2] = 1.0
+    small = small[:7] + (tm1,)
+    inpaint(*small, key).block_until_ready()
+    lats = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        inpaint(*small, jax.random.fold_in(key, 1000 + i)).block_until_ready()
+        lats.append(time.perf_counter() - t0)
+    p50_ms = sorted(lats)[len(lats) // 2] * 1e3
+
+    return {
+        "platform": jax.devices()[0].platform,
+        "measures_per_sec": measures_per_sec,
+        "batch": BATCH,
+        "p50_latency_ms_2measure": p50_ms,
+        "step_ms": dt * 1e3,
+    }
+
+
+def cpu_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["measures_per_sec"]
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import bench, json; r = bench.measure_throughput();"
+        "print('@@'+json.dumps(r))"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("@@")]
+    if not line:
+        raise RuntimeError(f"cpu baseline failed: {out.stderr[-2000:]}")
+    r = json.loads(line[-1][2:])
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(r, f)
+    return r["measures_per_sec"]
+
+
+def main():
+    result = measure_throughput()
+    try:
+        base = cpu_baseline()
+        vs = result["measures_per_sec"] / base
+    except Exception as e:  # noqa: BLE001 — baseline is best-effort
+        print(f"warning: cpu baseline unavailable: {e}", file=sys.stderr)
+        vs = None
+    print(
+        json.dumps(
+            {
+                "metric": "measures_inpainted_per_sec_per_chip",
+                "value": round(result["measures_per_sec"], 2),
+                "unit": "measures/s",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+                "extra": {
+                    "platform": result["platform"],
+                    "p50_latency_ms_2measure_b1": round(
+                        result["p50_latency_ms_2measure"], 2
+                    ),
+                    "batch": result["batch"],
+                    "step_ms_b512": round(result["step_ms"], 2),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

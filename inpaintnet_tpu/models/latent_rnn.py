@@ -83,7 +83,19 @@ class LatentRNN(Model):
         # generation RNN hidden = H * num_layers (latent_rnn.py:75-82)
         return self.rnn_hidden_size * self.num_rnn_layers
 
+    def _check_geometry(self):
+        # The generation RNN's initial hidden is the concatenated context
+        # (2H wide), so its hidden size H*L must equal 2H — i.e. the
+        # architecture closes only for num_rnn_layers == 2, the reference's
+        # shipped config (latent_rnn.py:75-83,140).
+        if self.gen_hidden_size != 2 * self.rnn_hidden_size:
+            raise ValueError(
+                "LatentRNN requires num_rnn_layers == 2 (generation hidden "
+                "H*L must match the concatenated 2H context)"
+            )
+
     def init_params(self, key):
+        self._check_geometry()
         keys = jax.random.split(key, 5)
         gen_in = self.z_dim if self.auto_reg else 1
         params = {
@@ -310,6 +322,9 @@ class LatentRNNAblations(LatentRNN):
     @property
     def gen_hidden_size(self) -> int:
         return self.rnn_hidden_size  # latent_rnn_ablations.py:77-85
+
+    def _check_geometry(self):
+        pass  # single-context hidden (L*2, B, H) always matches
 
     def init_params(self, key):
         params = super().init_params(key)

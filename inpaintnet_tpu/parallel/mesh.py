@@ -1,0 +1,89 @@
+"""Device-mesh utilities: the framework's parallelism substrate.
+
+The reference is single-device (only ``.cuda()`` placement,
+utils/helpers.py:5-26, no torch.distributed anywhere). Here every train/eval
+step is a jitted SPMD program over a ``jax.sharding.Mesh``:
+
+- axis ``"data"``: batch sharding — gradient all-reduce is inserted by XLA
+  as a psum over ICI; this is the scaling axis that matters at these model
+  sizes.
+- axis ``"model"``: reserved tensor-parallel axis. ``shard_params`` can
+  shard the large GRU weight matrices (3H gate dim) over it; with
+  ``model=1`` (the default) annotations are no-ops, but the same program
+  dryruns/compiles at model>1 so scaling out is a mesh-shape change, not a
+  code change.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ("data", "model") mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} mesh != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree onto the mesh, batch-axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def _is_gate_matrix(path_str: str, x) -> bool:
+    return (
+        x.ndim == 2
+        and ("w_ih" in path_str or "w_hh" in path_str or "w" == path_str.split("/")[-1])
+        and x.shape[-1] % 128 == 0
+    )
+
+
+def shard_params(mesh: Mesh, params):
+    """Tensor-parallel placement: shard the output (gate) dimension of
+    large RNN/linear weight matrices over the "model" axis; everything else
+    replicated. With model=1 this is pure replication."""
+    if mesh.shape.get("model", 1) == 1:
+        return replicate(mesh, params)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    treedef = flat[1]
+    leaves = []
+    for path, x in flat[0]:
+        path_str = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if hasattr(x, "ndim") and _is_gate_matrix(path_str, x):
+            spec = P(None, "model")
+        else:
+            spec = P()
+        leaves.append(jax.device_put(x, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,101 @@
+"""AnticipationRNN trainers
+(reference AnticipationRNN/anticipation_rnn_trainer.py:8-210).
+
+- ``AnticipationRNNGaussianRegTrainer``: contiguous-span constraint mask
+  (past + future ticks = 1, target span = 0), sampled per batch. The
+  reference defines a gaussian activation regularizer but never adds it to
+  the loss (:138-152); ``gaussian_reg_coeff`` (default 0.0) mirrors that
+  shipped behaviour while making the term available.
+- ``AnticipationRNNBaselineTrainer``: scattered Bernoulli(p ~ U[0, 0.5])
+  constraint mask shared across the batch (:193-210).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from inpaintnet_tpu.train.latent_rnn_trainer import split_to_measures
+from inpaintnet_tpu.train.trainer import Trainer
+
+
+class AnticipationRNNGaussianRegTrainer(Trainer):
+    def __init__(self, dataset, model, lr: float = 1e-4, early_stopping=False,
+                 gaussian_reg_coeff: float = 0.0, **kw):
+        self.min_num_measures_target = 2
+        self.max_num_measure_target = 6
+        self.gaussian_reg_coeff = gaussian_reg_coeff
+        super().__init__(dataset, model, lr, early_stopping, **kw)
+        assert dataset.n_bars > self.max_num_measure_target
+        self.measure_seq_len = dataset.subdivision * dataset.num_beats_per_bar
+        self._np_rng = np.random.RandomState(kw.get("seed", 0) + 29)
+
+    def process_batch_data(self, batch):
+        score_tensor = np.asarray(batch[0])
+        metadata_tensor = np.asarray(batch[1])
+        constraint_loc, start_tick, end_tick = self.get_constraints_location(
+            score_tensor
+        )
+        b = score_tensor.shape[0]
+        score = score_tensor.reshape(b, -1).astype(np.int32)
+        md = metadata_tensor.reshape(b, score.shape[1], -1).astype(np.int32)
+        loc = constraint_loc.reshape(b, -1).astype(np.int32)
+        return score, md, loc
+
+    def get_num_target_stochastic(self):
+        return int(
+            self._np_rng.randint(
+                self.min_num_measures_target, self.max_num_measure_target + 1
+            )
+        )
+
+    def get_num_past_stochastic(self, num_target, num_measures):
+        return int(self._np_rng.randint(1, num_measures - num_target - 1))
+
+    def get_constraints_location(self, score_tensor, extra_outs=False, fix_num_target=None):
+        """Contiguous span (reference :93-128, incl. the start at
+        ``num_past + 1`` and the off-by-one guard at the right edge)."""
+        m = split_to_measures(score_tensor, self.measure_seq_len)
+        num_measures = m.shape[1]
+        assert num_measures == self.dataset.n_bars
+        num_target = (
+            fix_num_target if fix_num_target is not None else self.get_num_target_stochastic()
+        )
+        num_past = self.get_num_past_stochastic(num_target, num_measures)
+        start_measure = num_past + 1
+        constraints_location = np.zeros_like(score_tensor)
+        start_tick = start_measure * self.measure_seq_len
+        end_tick = start_tick + num_target * self.measure_seq_len
+        if start_tick > 0:
+            constraints_location[:, :, :start_tick] = 1
+        if end_tick < constraints_location.shape[2] - 1:
+            constraints_location[:, :, end_tick:] = 1
+        if extra_outs:
+            return constraints_location, start_tick, end_tick, num_past, num_target
+        return constraints_location, start_tick, end_tick
+
+    def loss_and_metrics(self, params, batch_data, rng, train, extra=None):
+        score, md, loc = batch_data
+        weights = self.model.apply(params, score, md, loc, train=train, rng=rng)
+        mask = 1 - loc  # loss on unconstrained (target) ticks only (:41-47)
+        loss = self.mean_crossentropy_loss(weights, score, mask=mask)
+        accuracy = self.mean_accuracy(weights, score, mask=mask)
+        return loss, {"accuracy": accuracy}
+
+
+class AnticipationRNNBaselineTrainer(AnticipationRNNGaussianRegTrainer):
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.constraint_prob = 0.5
+
+    def process_batch_data(self, batch):
+        score_tensor = np.asarray(batch[0])
+        metadata_tensor = np.asarray(batch[1])
+        b = score_tensor.shape[0]
+        p = self._np_rng.random_sample() * self.constraint_prob
+        # one scattered mask shared across the batch (reference :201-202)
+        single = (
+            self._np_rng.random_sample(score_tensor.shape[1:]) < p
+        ).astype(np.int32)
+        loc = np.broadcast_to(single[None], score_tensor.shape).copy()
+        score = score_tensor.reshape(b, -1).astype(np.int32)
+        md = metadata_tensor.reshape(b, score.shape[1], -1).astype(np.int32)
+        return score, md, loc.reshape(b, -1)

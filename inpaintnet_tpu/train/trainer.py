@@ -1,0 +1,294 @@
+"""Trainer base class — the reference's training harness, rebuilt around one
+jitted SPMD train step.
+
+API mirrors ``utils/trainer.py:16-269``:
+``Trainer(dataset, model, lr, early_stopping)`` +
+``train_model(batch_size, num_epochs, plot, log)`` with per-epoch
+train/val passes, stdout stats, a model save every epoch and a numbered
+checkpoint every 10 epochs, optional early stopping.
+
+Redesigned internals:
+- subclasses implement ``process_batch_data`` (host-side numpy prep:
+  stochastic splits, constraint masks) and the PURE ``loss_and_metrics``
+  (params, batch, rng, train) -> (loss, {"accuracy": ...}); the base class
+  jits one (grad + adam-update) step and one eval step over the device
+  mesh — batch sharded on the "data" axis, params replicated, gradient
+  all-reduce compiled in by XLA;
+- optimizer state persists with the model (true resume — the reference
+  saves weights only, utils/model.py:16-53);
+- logging goes to stdout + an optional JSONL metrics file (replacing
+  tensorboard_logger / live matplotlib).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from abc import ABC, abstractmethod
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+
+from inpaintnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from inpaintnet_tpu.train import metrics as M
+from inpaintnet_tpu.train.checkpoints import load_train_state, save_train_state
+from inpaintnet_tpu.utils.rng import RngStream
+
+
+class EarlyStopping:
+    """(reference utils/trainer.py:379-413, semantics preserved incl. the
+    'improvement < 1e-5 still counts toward patience' detail)."""
+
+    def __init__(self, patience: int = 5, verbose: bool = False):
+        self.patience = patience
+        self.verbose = verbose
+        self.counter = 0
+        self.best_score = None
+        self.early_stop = False
+        self.val_loss_min = np.inf
+
+    def __call__(self, val_loss, model=None):
+        score = -val_loss
+        if self.best_score is None:
+            self.best_score = score
+        elif score <= self.best_score:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.early_stop = True
+        else:
+            if score - self.best_score < 1e-5:
+                self.counter += 1
+                if self.counter >= self.patience:
+                    self.early_stop = True
+            else:
+                self.best_score = score
+                self.val_loss_min = val_loss
+                self.counter = 0
+
+
+class Trainer(ABC):
+    # static loss/metric library (reference exposes these as staticmethods)
+    mean_crossentropy_loss = staticmethod(M.mean_crossentropy_loss)
+    mean_accuracy = staticmethod(M.mean_accuracy)
+    mean_crossentropy_loss_alt = staticmethod(M.mean_crossentropy_loss_alt)
+    mean_accuracy_alt = staticmethod(M.mean_accuracy_alt)
+    mean_l1_loss_rnn = staticmethod(M.mean_l1_loss)
+    mean_mse_loss_rnn = staticmethod(M.mean_mse_loss)
+
+    def __init__(
+        self,
+        dataset,
+        model,
+        lr: float = 1e-4,
+        early_stopping: bool = False,
+        seed: int = 0,
+        mesh=None,
+    ):
+        self.dataset = dataset
+        self.model = model
+        self.lr = lr
+        self.optimizer = optax.adam(lr)
+        self.early_stopping = bool(early_stopping)
+        if early_stopping:
+            self.early_stopper = EarlyStopping()
+        self.rng = RngStream(seed)
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.epoch = 0
+        self._train_step = None
+        self._eval_step = None
+        if self.model.params is None:
+            self.model.init(self.rng.next())
+        self.opt_state = self.optimizer.init(self.trainable_params(self.model.params))
+
+    # --- subclass surface -------------------------------------------------- #
+    @abstractmethod
+    def process_batch_data(self, batch):
+        """Host-side batch prep: returns a pytree of numpy arrays."""
+
+    @abstractmethod
+    def loss_and_metrics(self, params, batch_data, rng, train: bool, extra=None):
+        """PURE loss: (scalar loss, {"accuracy": scalar or None})."""
+
+    def update_scheduler(self, epoch_num: int):
+        """LR schedule hook (no-op like reference vae_trainer.py:57-63)."""
+
+    def trainable_params(self, params):
+        """Override to exclude frozen sub-trees from optimization."""
+        return params
+
+    def merge_params(self, params, trained):
+        """Inverse of ``trainable_params``."""
+        return trained
+
+    def extra_params(self):
+        """Frozen auxiliary params passed alongside the batch (e.g. the
+        frozen MeasureVAE inside LatentRNN). Constant w.r.t. the optimizer
+        but an explicit jit argument so they stay device-resident without
+        bloating the compiled program with constants."""
+        return None
+
+    def _fit_mesh_to_batch_size(self, batch: int):
+        """Shrink the data axis to the largest divisor of the batch size so
+        small (test/debug) batches still run; full-size batches keep the
+        full mesh."""
+        import math
+
+        data_axis = self.mesh.shape["data"]
+        if batch % data_axis == 0:
+            return
+        new_data = math.gcd(batch, data_axis)
+        model_axis = self.mesh.shape.get("model", 1)
+        self.mesh = make_mesh(
+            num_devices=new_data * model_axis, data=new_data, model=model_axis
+        )
+
+    # --- jitted steps -------------------------------------------------------- #
+    def _build_steps(self):
+        optimizer = self.optimizer
+
+        def train_step(params, opt_state, batch_data, rng, extra):
+            trainable = self.trainable_params(params)
+
+            def loss_fn(tp):
+                full = self.merge_params(params, tp)
+                loss, metrics = self.loss_and_metrics(full, batch_data, rng, True, extra)
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return self.merge_params(params, trainable), opt_state, loss, metrics
+
+        def eval_step(params, batch_data, rng, extra):
+            return self.loss_and_metrics(params, batch_data, rng, False, extra)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+
+    # --- epoch machinery ---------------------------------------------------- #
+    def loss_and_acc_on_epoch(self, data_loader, epoch_num=None, train=True):
+        """(reference trainer.py:126-163)"""
+        if self._train_step is None:
+            self._build_steps()
+        mean_loss, mean_acc, nb = 0.0, 0.0, 0
+        if hasattr(data_loader, "batch_size"):
+            self._fit_mesh_to_batch_size(data_loader.batch_size)
+        params = replicate(self.mesh, self.model.params)
+        opt_state = self.opt_state
+        extra = self.extra_params()
+        if extra is not None:
+            extra = replicate(self.mesh, extra)
+        for batch in data_loader:
+            batch_data = self.process_batch_data(batch)
+            batch_data = shard_batch(self.mesh, batch_data)
+            key = self.rng.next()
+            if train:
+                params, opt_state, loss, metrics = self._train_step(
+                    params, opt_state, batch_data, key, extra
+                )
+            else:
+                loss, metrics = self._eval_step(params, batch_data, key, extra)
+            mean_loss += float(loss)
+            acc = metrics.get("accuracy")
+            if acc is not None:
+                mean_acc += float(acc)
+            nb += 1
+        self.model.params = params
+        if train:
+            self.opt_state = opt_state
+        nb = max(nb, 1)
+        return mean_loss / nb, mean_acc / nb
+
+    def train_model(self, batch_size, num_epochs, plot=False, log=False,
+                    split=(0.70, 0.20)):
+        """(reference trainer.py:41-124; ``plot`` kept for API parity and
+        treated as ``log``)."""
+        log = log or plot
+        metrics_path = None
+        if log:
+            os.makedirs("runs", exist_ok=True)
+            metrics_path = os.path.join(
+                "runs", f"{type(self.model).__name__}_{int(time.time())}.jsonl"
+            )
+        generator_train, generator_val, _ = self.dataset.data_loaders(
+            batch_size=batch_size, split=split, seed=self.seed
+        )
+        print("Num Train Batches: ", len(generator_train))
+        print("Num Valid Batches: ", len(generator_val))
+        for epoch_index in range(num_epochs):
+            self.epoch = epoch_index
+            self.update_scheduler(epoch_index)
+            t0 = time.time()
+            mean_loss_train, mean_accuracy_train = self.loss_and_acc_on_epoch(
+                generator_train, epoch_index, train=True
+            )
+            mean_loss_val, mean_accuracy_val = self.loss_and_acc_on_epoch(
+                generator_val, epoch_index, train=False
+            )
+            dt = time.time() - t0
+            data_element = {
+                "epoch_index": epoch_index,
+                "num_epochs": num_epochs,
+                "mean_loss_train": mean_loss_train,
+                "mean_accuracy_train": mean_accuracy_train,
+                "mean_loss_val": mean_loss_val,
+                "mean_accuracy_val": mean_accuracy_val,
+                "epoch_seconds": dt,
+            }
+            if metrics_path:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(data_element) + "\n")
+            self.print_epoch_stats(**data_element)
+            self.model.save()
+            self.save_state()
+            if epoch_index > 0 and epoch_index % 10 == 0:
+                self.model.save_checkpoint(epoch_index)
+            if self.early_stopping:
+                self.early_stopper(mean_loss_val, self.model)
+                if self.early_stopper.early_stop:
+                    print("Early Stopping")
+                    return
+
+    # --- persistence ----------------------------------------------------------- #
+    @property
+    def state_path(self) -> str:
+        return self.model.filepath + ".train_state"
+
+    def save_state(self):
+        save_train_state(
+            self.state_path,
+            self.trainable_params(self.model.params),
+            self.opt_state,
+            self.epoch,
+        )
+
+    def load_state(self) -> int:
+        trained, self.opt_state, step = load_train_state(
+            self.state_path,
+            self.trainable_params(self.model.params),
+            self.opt_state,
+        )
+        self.model.params = self.merge_params(self.model.params, trained)
+        self.epoch = step
+        return step
+
+    @staticmethod
+    def print_epoch_stats(
+        epoch_index, num_epochs, mean_loss_train, mean_accuracy_train,
+        mean_loss_val, mean_accuracy_val, epoch_seconds=None, **_,
+    ):
+        extra = f"\t({epoch_seconds:.1f}s)" if epoch_seconds is not None else ""
+        print(f"Train Epoch: {epoch_index + 1}/{num_epochs}{extra}")
+        print(
+            f"\tTrain Loss: {mean_loss_train}"
+            f"\tTrain Accuracy: {mean_accuracy_train * 100} %"
+        )
+        print(
+            f"\tValid Loss: {mean_loss_val}"
+            f"\tValid Accuracy: {mean_accuracy_val * 100} %"
+        )

@@ -1,0 +1,66 @@
+"""MeasureVAE trainer (reference MeasureVAE/vae_trainer.py:10-139)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from inpaintnet_tpu.data.dataset import FolkDatasetNBars
+from inpaintnet_tpu.ops import kl_diag_normal_vs_standard
+from inpaintnet_tpu.train.trainer import Trainer
+
+
+class VAETrainer(Trainer):
+    """ELBO = token cross-entropy + beta * KLD with FIXED beta=0.001
+    (vae_trainer.py:128-139 — no annealing; ``beta`` is configurable here
+    but defaults to the reference constant)."""
+
+    def __init__(self, dataset, model, lr: float = 1e-4, beta: float = 0.001, **kw):
+        self.beta = beta
+        super().__init__(dataset, model, lr, **kw)
+
+    def process_batch_data(self, batch):
+        """(B, 1, n_bars*24) -> (B * n_bars, 24) per-measure batch
+        (vae_trainer.py:42-55)."""
+        score_tensor = np.asarray(batch[0])
+        if isinstance(self.dataset, FolkDatasetNBars):
+            b = score_tensor.shape[0]
+            score_tensor = score_tensor.reshape(b * self.dataset.n_bars, -1)
+        else:
+            score_tensor = score_tensor.reshape(score_tensor.shape[0], -1)
+        return score_tensor.astype(np.int32)
+
+    def loss_and_metrics(self, params, batch_data, rng, train, extra=None):
+        score = batch_data
+        weights, samples, z_dist, prior_dist, z_tilde, z_prior = self.model.apply(
+            params, score, train=train, rng=rng
+        )
+        recons_loss = self.mean_crossentropy_loss(weights, score)
+        kld = kl_diag_normal_vs_standard(z_dist)
+        dist_loss = self.beta * kld.sum(axis=1).mean()
+        loss = recons_loss + dist_loss
+        accuracy = self.mean_accuracy(weights, score)
+        return loss, {"accuracy": accuracy}
+
+    @staticmethod
+    def compute_kld_loss(z_dist, prior_dist=None, beta: float = 0.001):
+        """(vae_trainer.py:128-139)"""
+        kld = kl_diag_normal_vs_standard(z_dist)
+        return beta * kld.sum(axis=1).mean()
+
+    @staticmethod
+    def compute_mmd_loss(z_tilde, z_prior, coeff: float = 10.0):
+        """Unused alternative WAE objective kept for library parity
+        (vae_trainer.py:81-126, gaussian kernel)."""
+
+        def kernel(x, y, var=16.0):
+            d = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+            return jnp.exp(-d / var).sum()
+
+        n = z_tilde.shape[0]
+        first = 1.0 / (n * (n - 1)) / 2 if n > 1 else 1.0
+        second = 2.0 / (n * n)
+        return coeff * (
+            first * kernel(z_prior, z_prior)
+            + first * kernel(z_tilde, z_tilde)
+            - second * kernel(z_prior, z_tilde)
+        )

@@ -25,9 +25,13 @@ BATCH = 512
 N_PAST, N_TARGET, N_FUTURE = 6, 4, 6
 WARMUP, ITERS = 2, 10
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+# The CPU denominator uses a smaller batch (eager-CPU throughput is roughly
+# batch-linear here and the full 512 takes tens of minutes).
+CPU_BATCH, CPU_ITERS = 64, 2
 
 
-def measure_throughput() -> dict:
+def measure_throughput(batch: int = BATCH, iters: int = ITERS,
+                       measure_latency: bool = True) -> dict:
     import jax
     import numpy as np
 
@@ -37,15 +41,15 @@ def measure_throughput() -> dict:
     vocab = 60
     rng = np.random.RandomState(0)
     n_bars, max_t = 16, 6
-    past = np.zeros((BATCH, n_bars, 24), np.int32)
-    future = np.zeros((BATCH, n_bars, 24), np.int32)
-    target = np.zeros((BATCH, max_t, 24), np.int32)
-    past[:, :N_PAST] = rng.randint(0, vocab, (BATCH, N_PAST, 24))
-    future[:, :N_FUTURE] = rng.randint(0, vocab, (BATCH, N_FUTURE, 24))
-    target[:, :N_TARGET] = rng.randint(0, vocab, (BATCH, N_TARGET, 24))
-    pm = (np.arange(n_bars) < N_PAST)[None].repeat(BATCH, 0).astype(np.float32)
-    fm = (np.arange(n_bars) < N_FUTURE)[None].repeat(BATCH, 0).astype(np.float32)
-    tm = (np.arange(max_t) < N_TARGET)[None].repeat(BATCH, 0).astype(np.float32)
+    past = np.zeros((batch, n_bars, 24), np.int32)
+    future = np.zeros((batch, n_bars, 24), np.int32)
+    target = np.zeros((batch, max_t, 24), np.int32)
+    past[:, :N_PAST] = rng.randint(0, vocab, (batch, N_PAST, 24))
+    future[:, :N_FUTURE] = rng.randint(0, vocab, (batch, N_FUTURE, 24))
+    target[:, :N_TARGET] = rng.randint(0, vocab, (batch, N_TARGET, 24))
+    pm = (np.arange(n_bars) < N_PAST)[None].repeat(batch, 0).astype(np.float32)
+    fm = (np.arange(n_bars) < N_FUTURE)[None].repeat(batch, 0).astype(np.float32)
+    tm = (np.arange(max_t) < N_TARGET)[None].repeat(batch, 0).astype(np.float32)
 
     @jax.jit
     def inpaint(params, vae_params, past, pm, future, fm, target, tm, key):
@@ -60,15 +64,24 @@ def measure_throughput() -> dict:
     for _ in range(WARMUP):
         inpaint(*args, key).block_until_ready()
     t0 = time.perf_counter()
-    for i in range(ITERS):
+    for i in range(iters):
         out = inpaint(*args, jax.random.fold_in(key, i))
     out.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
-    measures_per_sec = BATCH * N_TARGET / dt
+    dt = (time.perf_counter() - t0) / iters
+    measures_per_sec = batch * N_TARGET / dt
 
+    p50_ms = None
+    if not measure_latency:
+        return {
+            "platform": jax.devices()[0].platform,
+            "measures_per_sec": measures_per_sec,
+            "batch": batch,
+            "p50_latency_ms_2measure": p50_ms,
+            "step_ms": dt * 1e3,
+        }
     # p50 latency of a single 2-measure inpaint (batch 1)
     small = tuple(
-        a[:1] if hasattr(a, "shape") and a.shape and a.shape[0] == BATCH else a
+        a[:1] if hasattr(a, "shape") and a.shape and a.shape[0] == batch else a
         for a in args
     )
     tm1 = np.zeros_like(np.asarray(small[7]))
@@ -85,7 +98,7 @@ def measure_throughput() -> dict:
     return {
         "platform": jax.devices()[0].platform,
         "measures_per_sec": measures_per_sec,
-        "batch": BATCH,
+        "batch": batch,
         "p50_latency_ms_2measure": p50_ms,
         "step_ms": dt * 1e3,
     }
@@ -97,7 +110,7 @@ def cpu_baseline() -> float:
             return json.load(f)["measures_per_sec"]
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        "import bench, json; r = bench.measure_throughput();"
+        "import bench, json; r = bench.measure_throughput(bench.CPU_BATCH, bench.CPU_ITERS, measure_latency=False);"
         "print('@@'+json.dumps(r))"
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")

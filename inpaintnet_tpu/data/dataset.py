@@ -138,10 +138,13 @@ class MusicDataset(ABC):
         train = tuple(x[:i1] for x in arrays)
         val = tuple(x[i1:i2] for x in arrays)
         test = tuple(x[i2:] for x in arrays)
+        # val/test keep the tail batch (the reference drops it,
+        # music_dataset.py:204-220 — dropping eval data is a bug class we
+        # choose not to replicate)
         return (
             BatchIterator(train, batch_size, shuffle=True, seed=seed),
-            BatchIterator(val, batch_size, shuffle=False),
-            BatchIterator(test, batch_size, shuffle=False),
+            BatchIterator(val, batch_size, shuffle=False, drop_last=False),
+            BatchIterator(test, batch_size, shuffle=False, drop_last=False),
         )
 
 

@@ -51,8 +51,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree onto the mesh, batch-axis sharded."""
-    sh = batch_sharding(mesh)
+    """Place a host batch pytree onto the mesh, batch-axis sharded.
+
+    A batch whose leading dim doesn't divide the data axis (tail eval
+    batches) is placed replicated instead — every device then computes the
+    full batch redundantly, which is correct and only wastes work on the
+    (rare) remainder batch."""
+    data_axis = mesh.shape["data"]
+    leaves = jax.tree_util.tree_leaves(batch)
+    divisible = all(x.shape[0] % data_axis == 0 for x in leaves)
+    sh = batch_sharding(mesh) if divisible else replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

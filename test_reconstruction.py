@@ -1,0 +1,187 @@
+"""Joint inpainting-evaluation harness
+(reference test_reconstruction.py:56-361): loads the MeasureVAE, LatentRNN
+and both AnticipationRNNs and reports inpainting NLL/accuracy for all on the
+SAME stochastic splits (fixed number of target measures)."""
+import click
+import jax
+import numpy as np
+
+from inpaintnet_tpu.cli.common import dataset_options, standard_datasets
+from inpaintnet_tpu.eval import AnticipationRNNTester, LatentRNNTester
+from inpaintnet_tpu.models import (
+    AnticipationRNNBaseline,
+    ConstraintModelGaussianReg,
+    LatentRNN,
+    MeasureVAE,
+)
+from inpaintnet_tpu.train.metrics import mean_accuracy, mean_crossentropy_loss
+
+
+def process_batch_data(batch, latent_rnn_tester, arnn_tester, num_target_measures=2):
+    """Shared stochastic split -> (latent_rnn_batch, arnn_batch)
+    (reference test_reconstruction.py:224-252)."""
+    score_tensor = np.asarray(batch[0])
+    metadata_tensor = np.asarray(batch[1])
+    packed = latent_rnn_tester.split_score_stochastic(
+        score_tensor, fix_num_target=num_target_measures
+    )
+    _, pm, _, _, _, _ = packed
+    num_past = int(pm[0].sum())
+    loc, start_tick, end_tick = arnn_tester.get_constraints_location(
+        score_tensor, start_measure=num_past, num_measures=num_target_measures
+    )
+    b = score_tensor.shape[0]
+    score = score_tensor.reshape(b, -1).astype(np.int32)
+    md = metadata_tensor.reshape(b, score.shape[1], -1).astype(np.int32)
+    arnn_batch = (score, md, loc.reshape(b, -1).astype(np.int32), start_tick, end_tick)
+    return packed, arnn_batch
+
+
+def loss_and_acc_test(data_loader, latent_rnn_tester, arnn_tester,
+                      arnn_baseline_tester=None, num_target_measures=2,
+                      num_models=4):
+    """(reference test_reconstruction.py:255-357)"""
+    sums = {k: 0.0 for k in (
+        "latent_rnn_loss", "latent_rnn_acc", "arnn_loss", "arnn_acc",
+        "arnn_baseline_loss", "arnn_baseline_acc")}
+    nb = 0
+    key = jax.random.PRNGKey(0)
+    for i, batch in enumerate(data_loader):
+        latent_batch, arnn_batch = process_batch_data(
+            batch, latent_rnn_tester, arnn_tester, num_target_measures
+        )
+        score, md, loc, start_tick, end_tick = arnn_batch
+
+        def arnn_eval(tester):
+            logits, _ = tester._inpaint(
+                tester.model.params, score, md, loc, jax.random.fold_in(key, i)
+            )
+            span = logits[:, start_tick:end_tick]
+            tgt = score[:, start_tick:end_tick]
+            return (
+                float(mean_crossentropy_loss(span, tgt)),
+                float(mean_accuracy(span, tgt)),
+            )
+
+        if num_models >= 1:
+            l, a = arnn_eval(arnn_tester)
+            sums["arnn_loss"] += l
+            sums["arnn_acc"] += a
+        if num_models >= 2:
+            past, pm, future, fm, target, tm = latent_batch
+            weights, _, _ = latent_rnn_tester._fwd(
+                latent_rnn_tester.model.params,
+                latent_rnn_tester.model.vae_model.params,
+                past, pm, future, fm, target, tm, jax.random.fold_in(key, i),
+            )
+            tick_mask = tm[:, :, None] * np.ones((1, 1, 24))
+            sums["latent_rnn_loss"] += float(
+                mean_crossentropy_loss(weights, target, mask=tick_mask)
+            )
+            sums["latent_rnn_acc"] += float(
+                mean_accuracy(weights, target, mask=tick_mask)
+            )
+        if num_models >= 4 and arnn_baseline_tester is not None:
+            l, a = arnn_eval(arnn_baseline_tester)
+            sums["arnn_baseline_loss"] += l
+            sums["arnn_baseline_acc"] += a
+        nb += 1
+    nb = max(nb, 1)
+    return {k: v / nb for k, v in sums.items()}
+
+
+@click.command()
+@click.option('--note_embedding_dim', default=10)
+@click.option('--metadata_embedding_dim', default=2)
+@click.option('--num_encoder_layers', default=2)
+@click.option('--encoder_hidden_size', default=512)
+@click.option('--encoder_dropout_prob', default=0.5)
+@click.option('--has_metadata', default=True)
+@click.option('--latent_space_dim', default=256)
+@click.option('--num_decoder_layers', default=2)
+@click.option('--decoder_hidden_size', default=512)
+@click.option('--decoder_dropout_prob', default=0.5)
+@click.option('--num_latent_rnn_layers', default=2)
+@click.option('--latent_rnn_hidden_size', default=512)
+@click.option('--latent_rnn_dropout_prob', default=0.5)
+@click.option('--num_layers', default=2)
+@click.option('--lstm_hidden_size', default=256)
+@click.option('--dropout_lstm', default=0.2)
+@click.option('--input_dropout', default=0.2)
+@click.option('--linear_hidden_size', default=256)
+@click.option('--batch_size', default=512)
+@click.option('--num_target', default=2, help='fixed number of target measures')
+@click.option('--num_models', default=4)
+@dataset_options
+def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
+         encoder_hidden_size, encoder_dropout_prob, has_metadata,
+         latent_space_dim, num_decoder_layers, decoder_hidden_size,
+         decoder_dropout_prob, num_latent_rnn_layers, latent_rnn_hidden_size,
+         latent_rnn_dropout_prob, num_layers, lstm_hidden_size, dropout_lstm,
+         input_dropout, linear_hidden_size, batch_size, num_target,
+         num_models, dataset_name, corpus_dir, cache_dir):
+    folk_dataset_train, folk_dataset_test = standard_datasets(
+        dataset_name, cache_dir=cache_dir, corpus_dir=corpus_dir
+    )
+    vae_model = MeasureVAE(
+        dataset=folk_dataset_train,
+        note_embedding_dim=note_embedding_dim,
+        metadata_embedding_dim=metadata_embedding_dim,
+        num_encoder_layers=num_encoder_layers,
+        encoder_hidden_size=encoder_hidden_size,
+        encoder_dropout_prob=encoder_dropout_prob,
+        latent_space_dim=latent_space_dim,
+        num_decoder_layers=num_decoder_layers,
+        decoder_hidden_size=decoder_hidden_size,
+        decoder_dropout_prob=decoder_dropout_prob,
+        has_metadata=has_metadata,
+    )
+    vae_model.init(jax.random.PRNGKey(0))
+    vae_model.load()
+
+    latent_rnn = LatentRNN(
+        dataset=folk_dataset_train, vae_model=vae_model,
+        num_rnn_layers=num_latent_rnn_layers,
+        rnn_hidden_size=latent_rnn_hidden_size,
+        dropout=latent_rnn_dropout_prob, auto_reg=False, teacher_forcing=True,
+    )
+    latent_rnn.init(jax.random.PRNGKey(1))
+    latent_rnn.load()
+
+    def build_arnn(cls):
+        m = cls(
+            dataset=folk_dataset_train,
+            note_embedding_dim=note_embedding_dim,
+            metadata_embedding_dim=metadata_embedding_dim,
+            num_layers=num_layers,
+            num_lstm_constraints_units=lstm_hidden_size,
+            num_lstm_generation_units=lstm_hidden_size,
+            linear_hidden_size=linear_hidden_size,
+            dropout_prob=dropout_lstm,
+            dropout_input_prob=input_dropout,
+            unary_constraint=True,
+        )
+        m.init(jax.random.PRNGKey(2))
+        m.load()
+        return m
+
+    arnn = build_arnn(ConstraintModelGaussianReg)
+    arnn_baseline = build_arnn(AnticipationRNNBaseline)
+
+    latent_tester = LatentRNNTester(folk_dataset_test, latent_rnn)
+    arnn_tester = AnticipationRNNTester(folk_dataset_test, arnn)
+    arnn_baseline_tester = AnticipationRNNTester(folk_dataset_test, arnn_baseline)
+
+    _, _, gen_test = folk_dataset_test.data_loaders(
+        batch_size=batch_size, split=(0.01, 0.01)
+    )
+    results = loss_and_acc_test(
+        gen_test, latent_tester, arnn_tester, arnn_baseline_tester,
+        num_target_measures=num_target, num_models=num_models,
+    )
+    for k, v in results.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == '__main__':
+    main()

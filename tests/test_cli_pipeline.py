@@ -1,0 +1,88 @@
+"""Full CLI pipeline smoke test: the reference user journey
+(train_measure_vae -> train_inpaintnet -> script_gen_diff_models) end to end
+on a synthetic corpus, via the actual entry scripts in subprocesses."""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from inpaintnet_tpu.data.synthetic import generate_corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY = [
+    "--note_embedding_dim", "8",
+    "--num_encoder_layers", "1",
+    "--encoder_hidden_size", "16",
+    "--latent_space_dim", "12",
+    "--num_decoder_layers", "1",
+    "--decoder_hidden_size", "16",
+]
+TINY_LATENT = [
+    "--num_latent_rnn_layers", "2",
+    "--latent_rnn_hidden_size", "16",
+]
+
+
+def _run(workdir, script, *args):
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        PYTHONPATH=REPO,
+        INPAINTNET_FORCE_CPU="1",
+    )
+    cmd = [sys.executable, os.path.join(REPO, script), *args]
+    out = subprocess.run(
+        cmd, cwd=workdir, env=env, capture_output=True, text=True, timeout=1200
+    )
+    assert out.returncode == 0, f"{script} failed:\n{out.stdout}\n{out.stderr}"
+    return out.stdout
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("cliwork")
+    corpus = wd / "corpus"
+    generate_corpus(str(corpus), num_tunes=8, num_bars=16, seed=3)
+    os.environ["INPAINTNET_CORPUS_DIR"] = str(corpus)
+    return str(wd)
+
+
+@pytest.mark.slow
+def test_full_pipeline(workdir):
+    common = ["--dataset_name", "folk_4by4nbars_short",
+              "--corpus_dir", os.environ["INPAINTNET_CORPUS_DIR"],
+              "--cache_dir", os.path.join(workdir, "cache")]
+    # 1. train the VAE for 1 epoch
+    out = _run(
+        workdir, "train_measure_vae.py",
+        *TINY, *common,
+        "--batch_size", "4", "--num_epochs", "1", "--no_log",
+    )
+    assert "Test Loss" in out
+    # 2. train InpaintNet on the frozen VAE
+    out = _run(
+        workdir, "train_inpaintnet.py",
+        *TINY, *TINY_LATENT, *common,
+        "--batch_size", "4", "--num_epochs", "1", "--no_log",
+        "--no_auto_reg",
+    )
+    assert "Test Loss" in out
+    # 3. batch-generate listening-test MIDI for all models? LatentRNN only
+    #    (ARNNs untrained in this smoke run would need their checkpoints) —
+    #    use script_gen_same_context which touches only the LatentRNN.
+    out = _run(
+        workdir, "script_gen_same_context.py",
+        *TINY, *TINY_LATENT, *common,
+        "--num_generations", "2",
+        "--save_folder", os.path.join(workdir, "saved_midi"),
+    )
+    midis = glob.glob(os.path.join(workdir, "saved_midi", "*.mid"))
+    assert len(midis) == 2
+    for m in midis:
+        with open(m, "rb") as f:
+            assert f.read(4) == b"MThd"

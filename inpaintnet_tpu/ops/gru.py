@@ -28,11 +28,29 @@ directions varying fastest, so the encoder's concat of final hiddens
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from inpaintnet_tpu.ops.linear import xavier_normal
+
+# Global GRU sequence-recurrence implementation:
+#   "xla"    — lax.scan (default; best for tiny batches / CPU)
+#   "pallas" — fused Pallas kernel (ops/gru_pallas.py; weights stay in VMEM
+#              across timesteps; pick on TPU for large-batch layers)
+_GRU_IMPL = os.environ.get("INPAINTNET_GRU_IMPL", "xla")
+
+
+def set_gru_impl(impl: str):
+    global _GRU_IMPL
+    assert impl in ("xla", "pallas")
+    _GRU_IMPL = impl
+
+
+def get_gru_impl() -> str:
+    return _GRU_IMPL
 
 
 def gru_cell_init(key, input_size: int, hidden_size: int, dtype=jnp.float32):
@@ -61,16 +79,24 @@ def _gru_gates(params, h, xw):
     return (1.0 - z) * n + z * h
 
 
-def gru_layer_apply(params, x, h0, *, reverse: bool = False, mask=None):
+def gru_layer_apply(params, x, h0, *, reverse: bool = False, mask=None,
+                    impl: str | None = None):
     """Single-direction GRU over a full sequence.
 
     :param x: (B, T, in)
     :param h0: (B, H)
     :param reverse: process t = T-1 .. 0 (outputs stay in original order)
     :param mask: optional (B, T) float/bool; steps with mask==0 freeze h
+    :param impl: override the global recurrence implementation
     :return: (outputs (B, T, H), h_last (B, H))
     """
     xw = x @ params["w_ih"] + params["b_ih"]  # one MXU matmul for all T
+    if (impl or _GRU_IMPL) == "pallas":
+        from inpaintnet_tpu.ops.gru_pallas import gru_layer_pallas
+
+        return gru_layer_pallas(
+            xw, params["w_hh"], params["b_hh"], h0, mask, reverse=reverse
+        )
     xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, 3H) time-major for scan
     mask_t = None if mask is None else jnp.swapaxes(mask.astype(x.dtype), 0, 1)
 

@@ -1,0 +1,45 @@
+"""Pallas fused GRU kernel: numerics vs the scan implementation
+(interpreter mode on CPU; on real TPU the same kernel compiles via Mosaic —
+exercised by benchmarks/bench_gru.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from inpaintnet_tpu.ops import gru_init
+from inpaintnet_tpu.ops.gru import gru_layer_apply
+from inpaintnet_tpu.ops.gru_pallas import gru_layer_pallas
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_matches_scan(reverse):
+    B, T, IN, H = 8, 24, 16, 128
+    params = gru_init(jax.random.PRNGKey(0), IN, H, 1, False)[0][0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (B, H))
+    out_ref, hn_ref = gru_layer_apply(params, x, h0, reverse=reverse)
+    xw = x @ params["w_ih"] + params["b_ih"]
+    out_pl, hn_pl = gru_layer_pallas(
+        xw, params["w_hh"], params["b_hh"], h0,
+        reverse=reverse, tile_b=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hn_pl), np.asarray(hn_ref), atol=2e-5)
+
+
+def test_pallas_mask_and_batch_padding():
+    B, T, IN, H = 5, 10, 8, 128  # B=5 forces tile padding
+    params = gru_init(jax.random.PRNGKey(3), IN, H, 1, False)[0][0]
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, T, IN))
+    h0 = jnp.zeros((B, H))
+    mask = jnp.concatenate([jnp.ones((B, 6)), jnp.zeros((B, T - 6))], axis=1)
+    out_ref, hn_ref = gru_layer_apply(params, x, h0, mask=mask)
+    xw = x @ params["w_ih"] + params["b_ih"]
+    out_pl, hn_pl = gru_layer_pallas(
+        xw, params["w_hh"], params["b_hh"], h0, mask,
+        tile_b=4, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(hn_pl), np.asarray(hn_ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_pl)[:, :6], np.asarray(out_ref)[:, :6], atol=2e-5
+    )

@@ -480,15 +480,36 @@ class FolkDatasetNBars(FolkMeasuresDataset):
 
     def make_arrays(self):
         leads, mds = [], []
+        native = self._native_tokenizer()
         for fn in self.dataset_filenames:
-            self._append_tune(fn, leads, mds)
+            self._append_tune(fn, leads, mds, native=native)
         score_arr = np.stack(leads).astype(np.int32)[:, None, :]
         md_arr = np.stack(mds).astype(np.int32)[:, None, :, :]
         return score_arr, md_arr
 
-    def _append_tune(self, fn: str, leads: list, mds: list):
+    def _native_tokenizer(self):
+        """The C++ AOT tokenizer (native/abctok.cpp), if built. Encoding
+        equivalence with the Python path is test-enforced
+        (tests/test_native_tokenizer.py)."""
+        try:
+            from inpaintnet_tpu.data.native import NativeTokenizer
+
+            if NativeTokenizer.available():
+                v = self.vocab
+                return NativeTokenizer(
+                    [v.token(i) for i in range(len(v))], tuple(self.pitch_range)
+                )
+        except (RuntimeError, OSError):
+            pass
+        return None
+
+    def _append_tune(self, fn: str, leads: list, mds: list, native=None):
         """(reference get_tensor_dataset, folk_dataset.py:802-838): windows
-        of ``seq_size_in_beats`` starting at -1 bar, striding a full window."""
+        of ``seq_size_in_beats`` starting at -1 bar, striding a full window.
+
+        Metadata channels are pitch-invariant, so they are computed once per
+        tune and shared across transpositions (the reference recomputes
+        identical tensors per transposition)."""
         path = os.path.join(self.corpus_it_gen.raw_dir, fn)
         try:
             score = self.corpus_it_gen.get_score_from_path(path, fix_and_expand=True)
@@ -498,9 +519,22 @@ class FolkDatasetNBars(FolkMeasuresDataset):
         if not self.is_in_range(score):
             return
         total_beats = int(score.highest_time)
-        for semi in self.all_transposition_intervals(score):
-            st, mt = self.transposed_score_and_metadata_tensors(score, semi)
-            lead = st[0]
+        semis = self.all_transposition_intervals(score)
+        md = self.get_metadata_tensor(score)
+
+        transposed_leads = None
+        if native is not None:
+            with open(path) as f:
+                text = f.read()
+            rows = native.encode_transpositions(text, semis)
+            if rows is not None and all(r is not None for r in rows):
+                transposed_leads = rows
+        if transposed_leads is None:  # python fallback / canonical path
+            transposed_leads = [
+                self.get_score_tensor(score.transpose(s))[0] for s in semis
+            ]
+
+        for lead in transposed_leads:
             for off in range(
                 -self.num_beats_per_bar, total_beats, self.seq_size_in_beats
             ):
@@ -511,4 +545,4 @@ class FolkDatasetNBars(FolkMeasuresDataset):
                         lead, s, e, self.vocab.start_index, self.vocab.end_index
                     )
                 )
-                mds.append(extract_metadata_with_padding(mt, s, e))
+                mds.append(extract_metadata_with_padding(md, s, e))

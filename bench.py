@@ -38,6 +38,17 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
     import __graft_entry__ as g
 
     ds, vae, model = g._build_models()
+    # serving dtype: bf16 halves HBM traffic and quadruples MXU throughput;
+    # logits/argmax decode is robust to it (set INPAINTNET_BENCH_DTYPE=float32
+    # to measure full precision)
+    dtype = os.environ.get("INPAINTNET_BENCH_DTYPE", "bfloat16")
+    if dtype != "float32":
+        import jax.numpy as jnp
+
+        from inpaintnet_tpu.models.base import cast_pytree
+
+        model.params = cast_pytree(model.params, jnp.dtype(dtype))
+        vae.params = cast_pytree(vae.params, jnp.dtype(dtype))
     vocab = 60
     rng = np.random.RandomState(0)
     n_bars, max_t = 16, 6

@@ -185,25 +185,31 @@ class ConstraintModelGaussianReg(Model):
         return embedding_apply(params["note_embedding"], tok)
 
     # --- forward paths ------------------------------------------------------------- #
-    def forward_tf(self, params, score, metadata, constraints_loc, *, train, rng):
+    def forward_tf(self, params, score, metadata, constraints_loc, *, train, rng,
+                   return_activations: bool = False):
         """Teacher-forced full-sequence pass (reference :348-404).
 
         :param score: (B, T) int tokens; metadata (B, T, num_md)
-        :return: logits (B, T, V)
+        :return: logits (B, T, V) [, (gen_activations, constraint_activations)]
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         r_c, r_g, r_in = jax.random.split(rng, 3)
         m = self.embed_metadata(params, metadata, score, constraints_loc)
-        constraint_out, _ = self.output_lstm_constraints(params, m, train=train, rng=r_c)
+        constraint_out, c_acts = self.output_lstm_constraints(
+            params, m, train=train, rng=r_c
+        )
         x = embedding_apply(params["note_embedding"], score)
         offset = jnp.concatenate([jnp.zeros_like(x[:, :1, :]), x[:, :-1, :]], axis=1)
         offset = self._drop_input(offset, train=train, rng=r_in)
         inp = jnp.concatenate([offset, constraint_out], axis=-1)
-        gen_out, _, _ = lstm_stack_apply(
+        gen_out, _, g_acts = lstm_stack_apply(
             params["lstm_generation"], inp,
             dropout=self.dropout_prob, rng=r_g, train=train,
         )
-        return self._head(params, gen_out)
+        logits = self._head(params, gen_out)
+        if return_activations:
+            return logits, (g_acts, c_acts)
+        return logits
 
     def forward_sampled(
         self,

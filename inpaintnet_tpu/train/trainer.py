@@ -85,10 +85,15 @@ class Trainer(ABC):
         early_stopping: bool = False,
         seed: int = 0,
         mesh=None,
+        debug: bool = False,
     ):
         self.dataset = dataset
         self.model = model
         self.lr = lr
+        # debug=True sweeps params for NaN/Inf once per epoch — the
+        # jit-compatible equivalent of the reference's per-forward NaN check
+        # (encoder.py:111-116)
+        self.debug = debug
         self.optimizer = optax.adam(lr)
         self.early_stopping = bool(early_stopping)
         if early_stopping:
@@ -175,7 +180,7 @@ class Trainer(ABC):
         """(reference trainer.py:126-163)"""
         if self._train_step is None:
             self._build_steps()
-        mean_loss, mean_acc, nb = 0.0, 0.0, 0
+        losses, accs = [], []
         if hasattr(data_loader, "batch_size"):
             self._fit_mesh_to_batch_size(data_loader.batch_size)
         params = replicate(self.mesh, self.model.params)
@@ -193,16 +198,22 @@ class Trainer(ABC):
                 )
             else:
                 loss, metrics = self._eval_step(params, batch_data, key, extra)
-            mean_loss += float(loss)
-            acc = metrics.get("accuracy")
-            if acc is not None:
-                mean_acc += float(acc)
-            nb += 1
+            # keep device scalars — converting per step would force a host
+            # sync and stall the dispatch pipeline; one sync at epoch end
+            losses.append(loss)
+            if metrics.get("accuracy") is not None:
+                accs.append(metrics["accuracy"])
         self.model.params = params
         if train:
             self.opt_state = opt_state
-        nb = max(nb, 1)
-        return mean_loss / nb, mean_acc / nb
+        if self.debug:
+            from inpaintnet_tpu.utils.debug import nan_check
+
+            nan_check(self.model.params, f"{type(self.model).__name__} params")
+        nb = max(len(losses), 1)
+        mean_loss = float(np.sum([np.asarray(l) for l in losses])) / nb
+        mean_acc = float(np.sum([np.asarray(a) for a in accs])) / nb if accs else 0.0
+        return mean_loss, mean_acc
 
     def train_model(self, batch_size, num_epochs, plot=False, log=False,
                     split=(0.70, 0.20)):

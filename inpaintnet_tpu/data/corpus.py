@@ -163,6 +163,50 @@ class FolkCorpus:
     def __call__(self) -> Iterator[Score]:
         return self.score_generator()
 
+    def scan_dataset(self) -> dict:
+        """Corpus statistics sweep (reference scan_dataset,
+        folk_data_helpers.py:366-461): counts, pitch range/distribution,
+        duration histogram, time-signature breakdown."""
+        import numpy as np
+        from fractions import Fraction
+
+        pitch_dist = np.zeros(128, dtype=np.int64)
+        dur_bins = {  # quarterLength -> label
+            Fraction(1): "quarter", Fraction(1, 2): "eighth",
+            Fraction(2): "half", Fraction(1, 4): "16th",
+            Fraction(4): "whole",
+        }
+        dur_dist = {v: 0 for v in dur_bins.values()}
+        dur_dist["other"] = 0
+        ts_counts: dict = {}
+        num_notes = []
+        min_pitch, max_pitch = 127, 0
+        for score in self.score_generator():
+            ps = score.pitches_midi()
+            if not ps:
+                continue
+            num_notes.append(len(score.notes))
+            min_pitch = min(min_pitch, min(ps))
+            max_pitch = max(max_pitch, max(ps))
+            for p in ps:
+                pitch_dist[p] += 1
+            for n in score.notes:
+                if n.is_note:
+                    dur_dist[dur_bins.get(n.duration, "other")] = (
+                        dur_dist.get(dur_bins.get(n.duration, "other"), 0) + 1
+                    )
+            ts = tuple(score.time_signature)
+            ts_counts[ts] = ts_counts.get(ts, 0) + 1
+        return {
+            "num_files": len(num_notes),
+            "num_notes": num_notes,
+            "pitch_dist": pitch_dist,
+            "min_pitch": min_pitch,
+            "max_pitch": max_pitch,
+            "dur_dist": dur_dist,
+            "time_signatures": ts_counts,
+        }
+
     def score_generator(self) -> Iterator[Score]:
         for i, fn in enumerate(self.valid_tune_filenames):
             if i >= self.num_elements:

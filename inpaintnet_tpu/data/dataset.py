@@ -81,6 +81,41 @@ class BatchIterator:
             yield tuple(a[sel] for a in self.arrays)
 
 
+class PrefetchIterator:
+    """Background-thread prefetch over a BatchIterator (the TPU-side
+    equivalent of the reference's 4 DataLoader workers,
+    music_dataset.py:195-202): host batch prep overlaps device compute."""
+
+    def __init__(self, inner: "BatchIterator", depth: int = 2):
+        self.inner = inner
+        self.depth = depth
+        self.batch_size = inner.batch_size
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            for item in self.inner:
+                q.put(item)
+            q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
 class MusicDataset(ABC):
     """Abstract dataset: score<->tensor contract + cached tensor store +
     loader construction (reference music_dataset.py:7-221)."""
@@ -127,6 +162,17 @@ class MusicDataset(ABC):
                 )
         return self._arrays
 
+    # --- reference-API aliases -------------------------------------------- #
+    def make_tensor_dataset(self):
+        """Reference-API alias (music_dataset.py:26-31)."""
+        return self.make_arrays()
+
+    @property
+    def tensor_dataset(self):
+        """Reference-API alias for the cached arrays
+        (music_dataset.py:125-142)."""
+        return self.arrays
+
     def data_loaders(self, batch_size: int, split=(0.85, 0.10), seed: int = 0):
         """Split the example axis into train/val/test and wrap in iterators
         (contiguous split like the reference, music_dataset.py:185-194)."""
@@ -140,9 +186,10 @@ class MusicDataset(ABC):
         test = tuple(x[i2:] for x in arrays)
         # val/test keep the tail batch (the reference drops it,
         # music_dataset.py:204-220 — dropping eval data is a bug class we
-        # choose not to replicate)
+        # choose not to replicate); train batches are prefetched on a
+        # background thread (the reference used 4 DataLoader workers)
         return (
-            BatchIterator(train, batch_size, shuffle=True, seed=seed),
+            PrefetchIterator(BatchIterator(train, batch_size, shuffle=True, seed=seed)),
             BatchIterator(val, batch_size, shuffle=False, drop_last=False),
             BatchIterator(test, batch_size, shuffle=False, drop_last=False),
         )

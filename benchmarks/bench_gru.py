@@ -21,13 +21,11 @@ x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
 h0 = jnp.zeros((B, H))
 
 
+from inpaintnet_tpu.utils.timing import device_timeit
+
+
 def timeit(fn, iters=20):
-    fn().block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1e3
+    return device_timeit(fn, iters=iters) * 1e3
 
 
 scan = jax.jit(lambda: gru_layer_apply(params, x, h0, impl="xla")[1])

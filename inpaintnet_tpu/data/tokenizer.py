@@ -174,11 +174,48 @@ def score_to_tensor(
             j += 1
             is_articulated = True
             continue
-        tok = standard_name(notes[j], pitch_range)
-        out[i] = vocab.index(tok) if is_articulated else slur
+        if is_articulated:
+            tok = standard_name(notes[j], pitch_range)
+            out[i] = _lookup_token(vocab, tok, notes[j])
+        else:
+            out[i] = slur
         i += 1
         current_tick += TICK_DURATIONS[(i - 1) % subdivision]
         is_articulated = False
+    return out
+
+
+def _lookup_token(vocab: Vocabulary, tok: str, note: Note) -> int:
+    """Vocab lookup with enharmonic fallback.
+
+    The reference GROWS its dictionaries when an unseen spelling appears
+    (folk_dataset.py:102-112) — which breaks trained embeddings. Here an
+    in-range pitch whose spelling is missing falls back to any enharmonic
+    spelling of the same MIDI number already in the vocabulary, then to OOR.
+    """
+    if tok in vocab:
+        return vocab.index(tok)
+    if note.is_note:
+        for cand in _enharmonic_spellings(note.pitch):
+            if cand in vocab:
+                return vocab.index(cand)
+    if OUT_OF_RANGE in vocab:
+        return vocab.index(OUT_OF_RANGE)
+    raise KeyError(f"token {tok!r} not in vocabulary and no fallback available")
+
+
+def _enharmonic_spellings(pitch: Pitch) -> List[str]:
+    """All spellings of a MIDI pitch with |alter| <= 2, nearest-first."""
+    from inpaintnet_tpu.data.score import _STEP_PC, _STEPS
+
+    midi = pitch.midi
+    out = []
+    for step in _STEPS:
+        for octave in (pitch.octave - 1, pitch.octave, pitch.octave + 1):
+            alter = midi - (12 * (octave + 1) + _STEP_PC[step])
+            if -2 <= alter <= 2:
+                out.append(Pitch(step, alter, octave).name)
+    out.sort(key=lambda name: abs(Pitch.from_name(name).alter))
     return out
 
 

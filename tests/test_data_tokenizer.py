@@ -156,3 +156,30 @@ def test_beatmarker_bug_replication_mode():
     bm = BeatMarkerMetadata(6, replicate_reference_bug=True)
     ch = bm.evaluate(score, 6)
     assert (ch == ch[0]).all()
+
+
+def test_enharmonic_fallback():
+    """Unseen spellings fall back to enharmonic equivalents instead of
+    mutating the vocabulary (reference folk_dataset.py:102-112 grows dicts)."""
+    from inpaintnet_tpu.data.score import Note, Pitch, Score
+    from fractions import Fraction
+
+    vocab = Vocabulary.build(["F4", "C5", REST, "OOR"])
+    # E#4 (same midi as F4) spelled differently
+    score = Score(
+        notes=[
+            Note(Fraction(0), Fraction(1), Pitch("E", 1, 4)),
+            Note(Fraction(1), Fraction(3), None),
+        ]
+    )
+    t = score_to_tensor(score, vocab)
+    assert vocab.token(t[0]) == "F4"
+    # totally unknown pitch -> OOR
+    score2 = Score(
+        notes=[
+            Note(Fraction(0), Fraction(1), Pitch("G", 0, 7)),
+            Note(Fraction(1), Fraction(3), None),
+        ]
+    )
+    t2 = score_to_tensor(score2, vocab, pitch_range=(0, 127))
+    assert vocab.token(t2[0]) == "OOR"

@@ -84,9 +84,11 @@ def test_latent_rnn_tester_generation(env):
         tensor_score=score_arr, time_index_range_ticks=(24 * 7, 24 * 9)
     )
     assert gen_tensor.shape == (1, 16 * 24)
-    # untouched context is preserved
-    np.testing.assert_array_equal(gen_tensor[0, : 24 * 8], score_arr[0, : 24 * 8])
-    np.testing.assert_array_equal(gen_tensor[0, 24 * 10 :], score_arr[0, 24 * 10 :])
+    # reference tick-range semantics (latent_rnn_tester.py:160-165):
+    # a=24*7 -> start_measure 8 (1-based) -> past = measures 0..6, so the
+    # regenerated span is ticks [24*7, 24*9); context outside is preserved
+    np.testing.assert_array_equal(gen_tensor[0, : 24 * 7], score_arr[0, : 24 * 7])
+    np.testing.assert_array_equal(gen_tensor[0, 24 * 9 :], score_arr[0, 24 * 9 :])
     # empty-context synthesis
     gen_score2, t2, _ = tester.generate(None, None, None, 2)
     assert t2.shape[1] == 3 + 2 + 1  # start(3) + gen(2) + end(1) measures

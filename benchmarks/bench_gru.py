@@ -38,9 +38,14 @@ t_pallas = timeit(pallas)
 print(f"B={B} H={H} T={T}: scan {t_scan:.3f} ms, pallas {t_pallas:.3f} ms, "
       f"speedup {t_scan / t_pallas:.2f}x")
 
-from inpaintnet_tpu.ops.gru_pallas import gru_layer_pallas_dma
-xw = x @ params["w_ih"] + params["b_ih"]
-dma = jax.jit(lambda: gru_layer_pallas_dma(xw, params["w_hh"], params["b_hh"], h0)[1])
-np.testing.assert_allclose(np.asarray(scan()), np.asarray(dma()), atol=1e-4)
-t_dma = timeit(dma)
-print(f"pallas-dma (tile 256): {t_dma:.3f} ms, speedup vs scan {t_scan / t_dma:.2f}x")
+# The DMA-pipelined variant is opt-in: correct in interpret mode and on
+# small grids on hardware, but hangs at large grid counts through the
+# hosted TPU tunnel (suspected remote-runtime semaphore issue) — pass
+# --dma to measure it.
+if "--dma" in sys.argv:
+    from inpaintnet_tpu.ops.gru_pallas import gru_layer_pallas_dma
+    xw = x @ params["w_ih"] + params["b_ih"]
+    dma = jax.jit(lambda: gru_layer_pallas_dma(xw, params["w_hh"], params["b_hh"], h0)[1])
+    np.testing.assert_allclose(np.asarray(scan()), np.asarray(dma()), atol=1e-4)
+    t_dma = timeit(dma)
+    print(f"pallas-dma (tile 256): {t_dma:.3f} ms, speedup vs scan {t_scan / t_dma:.2f}x")

@@ -117,3 +117,153 @@ def test_decoder_port_parity_teacher_forced():
         rng=jax.random.PRNGKey(0),
     )
     np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(), atol=1e-4)
+
+
+class TorchRefLatentGen(nn.Module):
+    """Reference LatentRNN generation components (latent_rnn.py:53-84):
+    context bi-GRUs + generation bi-GRU + linear (non-autoregressive)."""
+
+    def __init__(self):
+        super().__init__()
+        self.context_rnn_past = nn.GRU(Z, H, num_layers=L, bidirectional=True, batch_first=True)
+        self.context_rnn_future = nn.GRU(Z, H, num_layers=L, bidirectional=True, batch_first=True)
+        self.x_0 = nn.Parameter(torch.randn(1, 1, 1))
+        self.generation_rnn = nn.GRU(1, H * L, num_layers=L, bidirectional=True, batch_first=True)
+        self.generation_linear = nn.Linear(2 * H * 2, Z)
+
+    def forward(self, zp, zf, n_gen):
+        batch = zp.shape[0]
+        h0 = torch.zeros(L * 2, batch, H)
+        _, cp = self.context_rnn_past(zp, h0)
+        _, cf = self.context_rnn_future(zf, h0)
+        comb = torch.cat([cp, cf], 2)
+        gen_in = self.x_0.expand(batch, n_gen, 1)
+        out, _ = self.generation_rnn(gen_in, comb)
+        return self.generation_linear(out)
+
+
+def test_latent_rnn_port_parity():
+    """Ported LatentRNN params reproduce torch's predicted latent sequence
+    (non-autoregressive generation path, eval mode, bypassing the VAE)."""
+    from inpaintnet_tpu.models.latent_rnn import LatentRNN
+    from inpaintnet_tpu.models.torch_port import port_latent_rnn
+
+    torch.manual_seed(3)
+    tmod = TorchRefLatentGen().eval()
+    params = port_latent_rnn(tmod.state_dict(), num_layers=L, auto_reg=False)
+
+    class _DS:
+        def __repr__(self):
+            return "ds"
+
+    class _VAE:
+        latent_space_dim = Z
+
+    ours = LatentRNN.__new__(LatentRNN)
+    ours.num_rnn_layers = L
+    ours.rnn_hidden_size = H
+    ours.dropout = 0.0
+    ours.z_dim = Z
+    ours.auto_reg = False
+    ours.num_directions = 2
+
+    rs = np.random.RandomState(3)
+    zp = rs.randn(B, 5, Z).astype(np.float32)
+    zf = rs.randn(B, 7, Z).astype(np.float32)
+    n_gen = 3
+    with torch.no_grad():
+        t_z = tmod(torch.from_numpy(zp), torch.from_numpy(zf), n_gen)
+
+    cp = ours.forward_context(params, jnp.asarray(zp), jnp.ones((B, 5)), "past",
+                              train=False, rng=None)
+    cf = ours.forward_context(params, jnp.asarray(zf), jnp.ones((B, 7)), "future",
+                              train=False, rng=None)
+    comb = jnp.concatenate([cp, cf], axis=2)
+    # _generate_parallel decodes through the VAE; test the z path directly
+    from inpaintnet_tpu.ops import gru_apply, linear_apply
+
+    gen_in = jnp.broadcast_to(params["x_0"], (B, n_gen, 1))
+    gen_out, _ = gru_apply(params["generation_rnn"], gen_in, comb)
+    j_z = linear_apply(params["generation_linear"], gen_out)
+    np.testing.assert_allclose(np.asarray(j_z), t_z.numpy(), atol=1e-5)
+
+
+class TorchRefArnn(nn.Module):
+    """Reference ARNN TF path (anticipation_rnn_gauss_reg_model.py:348-404),
+    single voice, num_layers=1, unary constraints."""
+
+    NMD = 3
+    MD_DIM = 6
+
+    def __init__(self):
+        super().__init__()
+        self.note_embeddings = nn.ModuleList([nn.Embedding(V + 1, E)])
+        self.metadata_embeddings = nn.ModuleList(
+            [nn.Embedding(8, self.MD_DIM) for _ in range(self.NMD)]
+        )
+        cin = self.MD_DIM * self.NMD + E
+        self.lstm_constraint = nn.ModuleList([nn.LSTM(cin, H, batch_first=True)])
+        self.lstm_generation = nn.ModuleList([nn.LSTM(E + H, H, batch_first=True)])
+        self.linear_1 = nn.Linear(H, 12)
+        self.linear_ouput_notes = nn.ModuleList([nn.Linear(12, V)])
+
+    def forward_tf(self, score, metadata, loc):
+        b, t = score.shape
+        masked = score * loc + V * (1 - loc)
+        md = torch.cat(
+            [emb(metadata[:, :, i]) for i, emb in enumerate(self.metadata_embeddings)],
+            dim=-1,
+        )
+        m = torch.cat([md, self.note_embeddings[0](masked)], dim=-1)
+        rev = torch.flip(m, dims=[1])
+        c_out, _ = self.lstm_constraint[0](rev)
+        c_out = torch.flip(c_out, dims=[1])
+        x = self.note_embeddings[0](score)
+        offset = torch.cat([torch.zeros(b, 1, E), x[:, :-1, :]], dim=1)
+        inp = torch.cat([offset, c_out], dim=-1)
+        g_out, _ = self.lstm_generation[0](inp)
+        h = torch.relu(self.linear_1(g_out))
+        return self.linear_ouput_notes[0](h)
+
+
+def test_arnn_port_parity():
+    from inpaintnet_tpu.models.anticipation_rnn import ConstraintModelGaussianReg
+    from inpaintnet_tpu.models.torch_port import port_anticipation_rnn
+
+    torch.manual_seed(4)
+    tmod = TorchRefArnn().eval()
+    params = port_anticipation_rnn(tmod.state_dict(), num_layers=1, num_metadata=3)
+
+    class _MD:
+        num_values = 8
+        name = "md"
+
+    class _DS:
+        note2index_dicts = [{f"t{i}": i for i in range(V)}]
+        metadatas = [_MD(), _MD()]
+        num_voices = 1
+
+        def __repr__(self):
+            return "ds"
+
+    ours = ConstraintModelGaussianReg(
+        _DS(), note_embedding_dim=E, metadata_embedding_dim=TorchRefArnn.MD_DIM,
+        num_lstm_constraints_units=H, num_lstm_generation_units=H,
+        linear_hidden_size=12, num_layers=1, unary_constraint=True,
+        dropout_input_prob=0.0, dropout_prob=0.0,
+    )
+    rs = np.random.RandomState(4)
+    T = 48
+    score = rs.randint(0, V, (B, T))
+    md = rs.randint(0, 8, (B, T, 3))
+    loc = np.ones((B, T), np.int64)
+    loc[:, 20:30] = 0
+    with torch.no_grad():
+        t_logits = tmod.forward_tf(
+            torch.from_numpy(score), torch.from_numpy(md), torch.from_numpy(loc)
+        )
+    j_logits = ours.forward_tf(
+        params, jnp.asarray(score), jnp.asarray(md), jnp.asarray(loc),
+        train=False, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(), atol=1e-4)

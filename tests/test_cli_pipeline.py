@@ -86,3 +86,38 @@ def test_full_pipeline(workdir):
     for m in midis:
         with open(m, "rb") as f:
             assert f.read(4) == b"MThd"
+
+
+TINY_ARNN = [
+    "--note_embedding_dim", "8",
+    "--metadata_embedding_dim", "4",
+    "--num_layers", "1",
+    "--lstm_hidden_size", "16",
+    "--linear_hidden_size", "12",
+]
+
+
+@pytest.mark.slow
+def test_arnn_and_joint_eval(workdir):
+    """Both ARNN variants train via their CLIs and the joint
+    test_reconstruction harness evaluates all four models together."""
+    common = ["--dataset_name", "folk_4by4nbars_short",
+              "--corpus_dir", os.environ["INPAINTNET_CORPUS_DIR"],
+              "--cache_dir", os.path.join(workdir, "cache")]
+    for script in ("train_arnn_baseline.py", "train_arnn_reg.py"):
+        out = _run(
+            workdir, script, *TINY_ARNN, *common,
+            "--batch_size", "4", "--num_epochs", "1",
+            "--no_log", "--no_plot", "--no_early_stop",
+        )
+        assert "Test Loss" in out
+    out = _run(
+        workdir, "test_reconstruction.py",
+        *TINY, *TINY_LATENT,
+        "--metadata_embedding_dim", "4",
+        "--num_layers", "1", "--lstm_hidden_size", "16",
+        "--linear_hidden_size", "12",
+        *common,
+        "--batch_size", "4", "--num_target", "2",
+    )
+    assert "latent_rnn_loss" in out and "arnn_loss" in out

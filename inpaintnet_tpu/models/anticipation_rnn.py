@@ -243,7 +243,8 @@ class ConstraintModelGaussianReg(Model):
             force_mask = jnp.zeros((batch, T), dtype=jnp.int32)
         L = self.num_layers
         H = self.num_lstm_generation_units
-        h0 = (jnp.zeros((L, batch, H)), jnp.zeros((L, batch, H)))
+        cdt = constraint_out.dtype
+        h0 = (jnp.zeros((L, batch, H), cdt), jnp.zeros((L, batch, H), cdt))
         prev0 = self._start_embedding(params, batch)
         step_keys = jax.random.split(r_scan, T)
 

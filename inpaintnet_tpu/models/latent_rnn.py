@@ -176,7 +176,7 @@ class LatentRNN(Model):
         if target is not None:
             zt = self.get_z_seq(vae_params, target, train=train, rng=keys[2])
         else:
-            zt = jnp.zeros((batch, target_mask.shape[1], self.z_dim))
+            zt = jnp.zeros((batch, target_mask.shape[1], self.z_dim), zp.dtype)
 
         ctx_p = self.forward_context(params, zp, past_mask, "past", train=train, rng=keys[3])
         ctx_f = self.forward_context(params, zf, future_mask, "future", train=train, rng=keys[4])

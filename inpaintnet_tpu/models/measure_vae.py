@@ -253,7 +253,9 @@ class HierarchicalDecoder:
         step_keys = jax.random.split(r_scan, NUM_TICKS_PER_MEASURE)
 
         x0 = jnp.broadcast_to(params["x_0"][None, :], (batch, self.note_embedding_dim))
-        h_carry0 = jnp.zeros((self.num_layers, batch, self.rnn_hidden_size))
+        h_carry0 = jnp.zeros(
+            (self.num_layers, batch, self.rnn_hidden_size), params["x_0"].dtype
+        )
 
         multinomial = train and self.sampling == "multinomial"
 
@@ -371,7 +373,9 @@ class SRDecoder:
         def sequential():
             step_keys = jax.random.split(r_dec, seq_len)
             x0 = jnp.broadcast_to(params["x_0"][None, :], (batch, self.note_embedding_dim))
-            h0 = jnp.zeros((self.num_layers, batch, self.rnn_hidden_size))
+            h0 = jnp.zeros(
+                (self.num_layers, batch, self.rnn_hidden_size), params["x_0"].dtype
+            )
 
             def step(carry, key):
                 h, prev_emb = carry

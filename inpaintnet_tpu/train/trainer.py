@@ -86,6 +86,7 @@ class Trainer(ABC):
         seed: int = 0,
         mesh=None,
         debug: bool = False,
+        compute_dtype: Optional[str] = None,
     ):
         self.dataset = dataset
         self.model = model
@@ -94,6 +95,11 @@ class Trainer(ABC):
         # jit-compatible equivalent of the reference's per-forward NaN check
         # (encoder.py:111-116)
         self.debug = debug
+        # mixed precision: compute_dtype="bfloat16" casts params to bf16
+        # inside the loss (activations follow), while master params and the
+        # Adam state stay fp32 — ~2-4x MXU throughput, no loss scaling
+        # needed for bf16
+        self.compute_dtype = compute_dtype
         self.optimizer = optax.adam(lr)
         self.early_stopping = bool(early_stopping)
         if early_stopping:
@@ -154,11 +160,21 @@ class Trainer(ABC):
     def _build_steps(self):
         optimizer = self.optimizer
 
+        compute_dtype = self.compute_dtype
+
+        def maybe_cast(tree):
+            if compute_dtype is None:
+                return tree
+            from inpaintnet_tpu.models.base import cast_pytree
+            import jax.numpy as jnp
+
+            return cast_pytree(tree, jnp.dtype(compute_dtype))
+
         def train_step(params, opt_state, batch_data, rng, extra):
             trainable = self.trainable_params(params)
 
             def loss_fn(tp):
-                full = self.merge_params(params, tp)
+                full = maybe_cast(self.merge_params(params, tp))
                 loss, metrics = self.loss_and_metrics(full, batch_data, rng, True, extra)
                 return loss, metrics
 
@@ -170,7 +186,9 @@ class Trainer(ABC):
             return self.merge_params(params, trainable), opt_state, loss, metrics
 
         def eval_step(params, batch_data, rng, extra):
-            return self.loss_and_metrics(params, batch_data, rng, False, extra)
+            return self.loss_and_metrics(
+                maybe_cast(params), batch_data, rng, False, extra
+            )
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)

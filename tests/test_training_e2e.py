@@ -133,3 +133,22 @@ def test_arnn_training_step(env, model_cls, trainer_cls):
     train_loader, _, _ = ds.data_loaders(batch_size=4, split=(0.7, 0.2))
     loss, acc = trainer.loss_and_acc_on_epoch(train_loader, train=True)
     assert np.isfinite(loss) and 0 <= acc <= 1
+
+
+def test_vae_training_bf16_compute(env):
+    """Mixed-precision training: bf16 compute, fp32 master params."""
+    import jax.numpy as jnp
+
+    ds, ckpt = env
+    model = _tiny_vae(ds, ckpt)
+    trainer = VAETrainer(ds, model, lr=3e-3, compute_dtype="bfloat16")
+    train_loader, _, _ = ds.data_loaders(batch_size=8, split=(0.7, 0.2))
+    l0, _ = trainer.loss_and_acc_on_epoch(train_loader, train=False)
+    trainer.loss_and_acc_on_epoch(train_loader, train=True)
+    trainer.loss_and_acc_on_epoch(train_loader, train=True)
+    l1, _ = trainer.loss_and_acc_on_epoch(train_loader, train=False)
+    assert np.isfinite(l1) and l1 < l0
+    # master params remain fp32
+    for leaf in jax.tree_util.tree_leaves(trainer.model.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32

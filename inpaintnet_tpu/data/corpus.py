@@ -110,6 +110,15 @@ class FolkCorpus:
         if os.path.exists(self.valid_files_list):
             with open(self.valid_files_list) as f:
                 return [line.rstrip("\n") for line in f]
+        if not os.path.isdir(self.raw_dir):
+            raise FileNotFoundError(
+                f"corpus directory {self.raw_dir!r} does not exist — point "
+                "--corpus_dir / $INPAINTNET_CORPUS_DIR at a directory of "
+                "tune_<i>.abc files (split a Session dump with "
+                "inpaintnet_tpu.data.corpus.split_raw_dump, or create a "
+                "synthetic corpus with inpaintnet_tpu.data.synthetic."
+                "generate_corpus)"
+            )
         names = sorted(
             (
                 fn

@@ -25,11 +25,14 @@ from inpaintnet_tpu.train import AnticipationRNNBaselineTrainer
 @click.option('--plot/--no_plot', default=True, help='plot the training log')
 @click.option('--teacher_forcing/--no_teacher_forcing', default=True, help='use teacher forcing')
 @click.option('--early_stop/--no_early_stop', default=True, help='use early stopping')
+@click.option('--compute_dtype', default=None,
+              type=click.Choice(['bfloat16', 'float32']),
+              help='mixed-precision compute dtype (fp32 master params)')
 @dataset_options
 def main(note_embedding_dim, metadata_embedding_dim, num_layers,
          lstm_hidden_size, dropout_lstm, input_dropout, linear_hidden_size,
          batch_size, num_epochs, train, log, lr, plot, teacher_forcing,
-         early_stop, dataset_name, corpus_dir, cache_dir):
+         early_stop, compute_dtype, dataset_name, corpus_dir, cache_dir):
     folk_dataset, folk_dataset_test = standard_datasets(
         dataset_name, cache_dir=cache_dir, corpus_dir=corpus_dir
     )
@@ -48,7 +51,7 @@ def main(note_embedding_dim, metadata_embedding_dim, num_layers,
     )
     if train:
         trainer = AnticipationRNNBaselineTrainer(
-            dataset=folk_dataset, model=model, lr=lr, early_stopping=early_stop,
+            dataset=folk_dataset, model=model, lr=lr, compute_dtype=compute_dtype, early_stopping=early_stop,
         )
         trainer.train_model(batch_size=batch_size, num_epochs=num_epochs,
                             plot=plot, log=log)

@@ -32,6 +32,9 @@ from inpaintnet_tpu.train import LatentRNNTrainer
 @click.option('--auto_reg/--no_auto_reg', default=True, help='auto-regressive generation RNN')
 @click.option('--teacher_forcing/--no_teacher_forcing', default=True, help='use teacher forcing')
 @click.option('--early_stop/--no_early_stop', default=False, help='use early stopping')
+@click.option('--compute_dtype', default=None,
+              type=click.Choice(['bfloat16', 'float32']),
+              help='mixed-precision compute dtype (fp32 master params)')
 @dataset_options
 def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          encoder_hidden_size, encoder_dropout_prob, has_metadata,
@@ -39,7 +42,7 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          decoder_dropout_prob, num_latent_rnn_layers, latent_rnn_hidden_size,
          latent_rnn_dropout_prob, batch_size, num_epochs, train, lr, plot,
          log, auto_reg, teacher_forcing, early_stop,
-         dataset_name, corpus_dir, cache_dir):
+         compute_dtype, dataset_name, corpus_dir, cache_dir):
     folk_dataset_train, folk_dataset_test = standard_datasets(
         dataset_name, cache_dir=cache_dir, corpus_dir=corpus_dir
     )
@@ -70,7 +73,7 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
     )
     if train:
         trainer = LatentRNNTrainer(
-            dataset=folk_dataset_train, model=model, lr=lr,
+            dataset=folk_dataset_train, model=model, lr=lr, compute_dtype=compute_dtype,
             early_stopping=early_stop,
         )
         trainer.train_model(batch_size=batch_size, num_epochs=num_epochs,

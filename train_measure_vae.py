@@ -25,12 +25,15 @@ from inpaintnet_tpu.train import VAETrainer
 @click.option('--plot/--no_plot', default=False, help='plot the training log')
 @click.option('--log/--no_log', default=True, help='log epoch metrics')
 @click.option('--lr', default=1e-4, help='learning rate')
+@click.option('--compute_dtype', default=None,
+              type=click.Choice(['bfloat16', 'float32']),
+              help='mixed-precision compute dtype (fp32 master params)')
 @dataset_options
 def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          encoder_hidden_size, encoder_dropout_prob, has_metadata,
          latent_space_dim, num_decoder_layers, decoder_hidden_size,
          decoder_dropout_prob, batch_size, num_epochs, train, plot, log, lr,
-         dataset_name, corpus_dir, cache_dir):
+         compute_dtype, dataset_name, corpus_dir, cache_dir):
     folk_dataset, folk_dataset_test = standard_datasets(
         dataset_name, cache_dir=cache_dir, corpus_dir=corpus_dir
     )
@@ -48,7 +51,7 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
         has_metadata=has_metadata,
     )
     if train:
-        trainer = VAETrainer(dataset=folk_dataset, model=model, lr=lr)
+        trainer = VAETrainer(dataset=folk_dataset, model=model, lr=lr, compute_dtype=compute_dtype)
         trainer.train_model(batch_size=batch_size, num_epochs=num_epochs,
                             plot=plot, log=log)
     else:

@@ -27,10 +27,10 @@ _KEY_SCALES = {
 }
 
 
-def _random_bar(rng: random.Random, scale: str) -> str:
-    """One 4/4 bar: eight eighth notes with occasional quarters/sixteens."""
+def _random_bar(rng: random.Random, scale: str, eighths: int = 8) -> str:
+    """One bar of ``eighths`` eighth-notes with occasional
+    quarters/sixteenths."""
     out: List[str] = []
-    eighths = 8
     while eighths > 0:
         r = rng.random()
         if r < 0.15 and eighths >= 2:
@@ -49,20 +49,27 @@ def _random_bar(rng: random.Random, scale: str) -> str:
     return " ".join(out)
 
 
-def generate_tune(rng: random.Random, index: int, num_bars: int = 8) -> str:
+def generate_tune(
+    rng: random.Random, index: int, num_bars: int = 8, time_sig=(4, 4)
+) -> str:
     key = rng.choice(_KEYS)
     scale = _KEY_SCALES[key]
-    bars = [_random_bar(rng, scale) for _ in range(num_bars)]
-    body = "|".join(bars) + "|]"
+    num, den = time_sig
+    eighths = num * 8 // den
+    bars = [_random_bar(rng, scale, eighths) for _ in range(num_bars)]
     lines = "\n".join(
         "|".join(bars[i : i + 4]) + ("|]" if i + 4 >= num_bars else "|")
         for i in range(0, num_bars, 4)
     )
-    return f"X:{index}\nT:Synthetic Tune {index}\nM:4/4\nL:1/8\nK:{key}\n{lines}\n"
+    return (
+        f"X:{index}\nT:Synthetic Tune {index}\nM:{num}/{den}\nL:1/8\n"
+        f"K:{key}\n{lines}\n"
+    )
 
 
 def generate_corpus(
-    out_dir: str, num_tunes: int = 50, num_bars: int = 8, seed: int = 0
+    out_dir: str, num_tunes: int = 50, num_bars: int = 8, seed: int = 0,
+    time_sig=(4, 4),
 ) -> List[str]:
     """Write ``tune_<i>.abc`` files; returns the filenames."""
     os.makedirs(out_dir, exist_ok=True)
@@ -71,6 +78,6 @@ def generate_corpus(
     for i in range(num_tunes):
         fn = f"tune_{i}.abc"
         with open(os.path.join(out_dir, fn), "w") as f:
-            f.write(generate_tune(rng, i, num_bars))
+            f.write(generate_tune(rng, i, num_bars, time_sig))
         names.append(fn)
     return names

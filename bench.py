@@ -21,7 +21,7 @@ import subprocess
 import sys
 import time
 
-BATCH = 512
+BATCH = 2048  # throughput peaks here (see docs/PERFORMANCE.md scaling table)
 N_PAST, N_TARGET, N_FUTURE = 6, 4, 6
 WARMUP, ITERS = 2, 10
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
@@ -172,7 +172,7 @@ def main():
                         result["p50_latency_ms_2measure"], 2
                     ),
                     "batch": result["batch"],
-                    "step_ms_b512": round(result["step_ms"], 2),
+                    "step_ms": round(result["step_ms"], 2),
                 },
             }
         )

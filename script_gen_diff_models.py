@@ -9,6 +9,7 @@ import jax
 import numpy as np
 
 from inpaintnet_tpu.cli.common import dataset_options, standard_datasets
+from inpaintnet_tpu.data.abc_writer import write_abc
 from inpaintnet_tpu.data.midi import write_midi
 from inpaintnet_tpu.eval import AnticipationRNNTester, LatentRNNTester
 from inpaintnet_tpu.models import (
@@ -90,10 +91,10 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
             continue
         st = st[:, :req_length]
         usable.append((f[:-4], st))
-        write_midi(
-            folk_dataset_test.tensor_to_score(st),
-            os.path.join(save_folder, f"{f[:-4]}_original.mid"),
-        )
+        original = folk_dataset_test.tensor_to_score(st)
+        write_midi(original, os.path.join(save_folder, f"{f[:-4]}_original.mid"))
+        with open(os.path.join(save_folder, f"{f[:-4]}_original.abc"), "w") as fh:
+            fh.write(write_abc(original, title=f"{f[:-4]} original"))
 
     # --- LatentRNN inpaintings (reference :171-233; shipped config
     #     auto_reg=False, :178) ------------------------------------------ #
@@ -114,6 +115,8 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
             past, future, target, NUM_TARGET
         )
         write_midi(gen_score, os.path.join(save_folder, f"{f_id}_latent_rnn.mid"))
+        with open(os.path.join(save_folder, f"{f_id}_latent_rnn.abc"), "w") as fh:
+            fh.write(write_abc(gen_score, title=f"{f_id} latent_rnn"))
 
     # --- ARNN reg + baseline inpaintings (reference :236-352) ------------- #
     def arnn_pass(model_cls, trained_name, suffix):

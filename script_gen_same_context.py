@@ -7,6 +7,7 @@ import jax
 import numpy as np
 
 from inpaintnet_tpu.cli.common import dataset_options, standard_datasets
+from inpaintnet_tpu.data.abc_writer import write_abc
 from inpaintnet_tpu.data.midi import write_midi
 from inpaintnet_tpu.eval import LatentRNNTester
 from inpaintnet_tpu.models import LatentRNN, MeasureVAE
@@ -95,6 +96,8 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
             gen_score,
             os.path.join(save_folder, f"{tune_id}_{j}_latent_rnn.mid"),
         )
+        with open(os.path.join(save_folder, f"{tune_id}_{j}_latent_rnn.abc"), "w") as fh:
+            fh.write(write_abc(gen_score, title=f"{tune_id} regen {j}"))
     print(f"wrote {num_generations} re-inpaintings of {tune_id} to {save_folder}/")
 
 

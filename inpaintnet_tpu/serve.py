@@ -95,15 +95,14 @@ class InpaintingEngine:
         past = np.zeros((bucket, nb, msl), np.int32)
         future = np.zeros((bucket, nb, msl), np.int32)
         past[:b, :n_past] = tokens[:, :n_past]
-        future[:b, :n_future] = tokens[:, m - n_future:] if n_future else 0
+        if n_future:
+            future[:b, :n_future] = tokens[:, m - n_future:]
         pm = np.zeros((bucket, nb), np.float32)
         fm = np.zeros((bucket, nb), np.float32)
         tm = np.zeros((bucket, self.max_target), np.float32)
         pm[:, :n_past] = 1
-        fm[:, :max(n_future, 1)] = 1 if n_future else 0
+        fm[:, :n_future] = 1  # all-zero mask => zero context (no future)
         tm[:, :num_measures] = 1
-        if n_future == 0:
-            fm[:, 0] = 0
 
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
         samples = np.asarray(

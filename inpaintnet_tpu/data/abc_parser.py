@@ -104,7 +104,10 @@ def _parse_time_signature(m_field: str) -> Tuple[int, int]:
     m = re.match(r"^(\d+)\s*/\s*(\d+)", s)
     if not m:
         raise AbcParseError(f"unsupported M:{m_field!r}")
-    return (int(m.group(1)), int(m.group(2)))
+    num, den = int(m.group(1)), int(m.group(2))
+    if num <= 0 or den <= 0:
+        raise AbcParseError(f"invalid time signature M:{m_field!r}")
+    return (num, den)
 
 
 @dataclass
@@ -471,6 +474,8 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
         bar_start = offset
         for ev in bar.events:
             dur = ev.duration * ql_per_unit
+            if dur <= 0:
+                raise AbcParseError("zero or negative note duration")
             notes.append(Note(offset, dur, ev.pitch, ev.tie))
             offset += dur
         bar_durations.append(offset - bar_start)

@@ -481,6 +481,7 @@ Tune parse_abc(const std::string& text, bool expand) {
     Rat bar_start = offset;
     for (auto& ev : bar.events) {
       Rat d = ev.dur * ql_per_unit;
+      if (d.n <= 0) { tune.error = "zero or negative note duration"; tune.ok = false; return tune; }
       tune.notes.push_back(NoteEv{offset, d, ev.is_rest, ev.p});
       offset = offset + d;
     }

@@ -546,6 +546,32 @@ std::string token_name(const NoteEv& nv, int lo, int hi) {
   return nv.pitch.name();
 }
 
+// vocab lookup with enharmonic fallback (mirrors Python
+// tokenizer._lookup_token): exact spelling, then enharmonic respellings of
+// the same midi pitch nearest-first, then OOR.
+bool lookup_token(const std::unordered_map<std::string, int>& vocab,
+                  const NoteEv& nv, int lo, int hi, int32_t& out_id) {
+  std::string tok = token_name(nv, lo, hi);
+  auto it = vocab.find(tok);
+  if (it != vocab.end()) { out_id = it->second; return true; }
+  if (!nv.is_rest) {
+    int midi = nv.pitch.midi();
+    for (int abs_alter = 0; abs_alter <= 2; ++abs_alter) {
+      for (int step = 0; step < 7; ++step) {
+        for (int oct = nv.pitch.octave - 1; oct <= nv.pitch.octave + 1; ++oct) {
+          int alter = midi - (12 * (oct + 1) + kStepPc[step]);
+          if (alter != abs_alter && alter != -abs_alter) continue;
+          auto it2 = vocab.find(Pitch{step, alter, oct}.name());
+          if (it2 != vocab.end()) { out_id = it2->second; return true; }
+        }
+      }
+    }
+  }
+  auto oor = vocab.find("OOR");
+  if (oor != vocab.end()) { out_id = oor->second; return true; }
+  return false;
+}
+
 // exact port of the Python/reference tick walk
 bool encode_ticks(const std::vector<NoteEv>& notes, Rat highest,
                   const std::unordered_map<std::string, int>& vocab,
@@ -568,10 +594,12 @@ bool encode_ticks(const std::vector<NoteEv>& notes, Rat highest,
       continue;
     }
     if (artic) {
-      std::string tok = token_name(notes[j], lo, hi);
-      auto it = vocab.find(tok);
-      if (it == vocab.end()) { err = "unknown token " + tok; return false; }
-      out[i] = it->second;
+      int32_t tid;
+      if (!lookup_token(vocab, notes[j], lo, hi, tid)) {
+        err = "unknown token " + token_name(notes[j], lo, hi);
+        return false;
+      }
+      out[i] = tid;
     } else {
       out[i] = slur;
     }

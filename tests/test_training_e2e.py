@@ -152,3 +152,29 @@ def test_vae_training_bf16_compute(env):
     for leaf in jax.tree_util.tree_leaves(trainer.model.params):
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             assert leaf.dtype == jnp.float32
+
+
+def test_arnn_gaussian_reg_active(env):
+    """gaussian_reg_coeff > 0 adds the activation regularizer (the
+    reference defined it but never used it; here it's a working opt-in)."""
+    ds, ckpt = env
+    model = ConstraintModelGaussianReg(
+        ds, note_embedding_dim=8, metadata_embedding_dim=4,
+        num_lstm_constraints_units=16, num_lstm_generation_units=16,
+        linear_hidden_size=12, num_layers=1, unary_constraint=True,
+        teacher_forcing=True, checkpoint_dir=ckpt,
+    )
+    base_tr = AnticipationRNNGaussianRegTrainer(ds, model, lr=1e-3, seed=5)
+    reg_tr = AnticipationRNNGaussianRegTrainer(
+        ds, model, lr=1e-3, gaussian_reg_coeff=1e-3, seed=5
+    )
+    loader, _, _ = ds.data_loaders(batch_size=4, split=(0.7, 0.2))
+    batch = next(iter(loader))
+    bd = base_tr.process_batch_data(batch)
+    import jax
+
+    l0, _ = base_tr.loss_and_metrics(model.params, bd, jax.random.PRNGKey(0), False)
+    # reg path uses forward_tf internally; compute with train=False for
+    # determinism and compare magnitudes
+    l1, _ = reg_tr.loss_and_metrics(model.params, bd, jax.random.PRNGKey(0), False)
+    assert float(l1) > float(l0)  # regularizer adds positive mass

@@ -141,6 +141,61 @@ def _gru_layer_impl(params, x, h0, mask, reverse, impl):
     return jnp.swapaxes(outs, 0, 1), h_last
 
 
+def gru_layer_bidir_fused(p_fwd, p_bwd, x, h0_pair, *, mask=None):
+    """Both directions of a bidirectional GRU layer in ONE scan.
+
+    The forward carry processes t while the backward carry processes
+    T-1-t; per step the two hidden matmuls become one batched
+    (2, B, H) x (2, H, 3H) contraction — half the scan iterations and
+    double the per-matmul work of running two directional scans.
+
+    :param x: (B, T, in); h0_pair: (2, B, H); mask: optional (B, T)
+    :return: (outputs (B, T, 2H) [fwd||bwd like torch], h_last (2, B, H))
+    """
+    w_ih = jnp.stack([p_fwd["w_ih"], p_bwd["w_ih"]])  # (2, in, 3H)
+    b_ih = jnp.stack([p_fwd["b_ih"], p_bwd["b_ih"]])
+    w_hh = jnp.stack([p_fwd["w_hh"], p_bwd["w_hh"]])
+    b_hh = jnp.stack([p_fwd["b_hh"], p_bwd["b_hh"]])
+    hidden = w_hh.shape[1]
+
+    xw = jnp.einsum("bti,dik->dbtk", x, w_ih) + b_ih[:, None, None, :]
+    xw_f = jnp.swapaxes(xw[0], 0, 1)  # (T, B, 3H)
+    xw_b = jnp.swapaxes(xw[1], 0, 1)[::-1]
+    xs_x = jnp.stack([xw_f, xw_b], axis=1)  # (T, 2, B, 3H)
+    if mask is not None:
+        m = jnp.swapaxes(mask.astype(x.dtype), 0, 1)  # (T, B)
+        xs_m = jnp.stack([m, m[::-1]], axis=1)  # (T, 2, B)
+    else:
+        xs_m = None
+
+    def step(h, inp):
+        if xs_m is None:
+            xwt = inp
+        else:
+            xwt, mt = inp
+        hw = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None, :]
+        r = jax.nn.sigmoid(xwt[..., :hidden] + hw[..., :hidden])
+        z = jax.nn.sigmoid(
+            xwt[..., hidden : 2 * hidden] + hw[..., hidden : 2 * hidden]
+        )
+        n = jnp.tanh(xwt[..., 2 * hidden :] + r * hw[..., 2 * hidden :])
+        h_new = (1.0 - z) * n + z * h
+        if xs_m is not None:
+            h_new = jnp.where(mt[..., None] > 0, h_new, h)
+        return h_new, h_new
+
+    xs = xs_x if xs_m is None else (xs_x, xs_m)
+    h_last, ys = lax.scan(step, h0_pair, xs)  # ys: (T, 2, B, H)
+    out_f = jnp.swapaxes(ys[:, 0], 0, 1)
+    out_b = jnp.swapaxes(ys[:, 1][::-1], 0, 1)
+    return jnp.concatenate([out_f, out_b], axis=-1), h_last
+
+
+@jax.checkpoint
+def _gru_layer_bidir_ckpt(p_fwd, p_bwd, x, h0_pair, mask):
+    return gru_layer_bidir_fused(p_fwd, p_bwd, x, h0_pair, mask=mask)
+
+
 def gru_stack_cell_apply(params, h, x, *, dropout=0.0, rng=None, train=False):
     """One step through a stack of unidirectional GRU layers.
 
@@ -220,18 +275,34 @@ def gru_apply(
     if h0 is None:
         h0 = jnp.zeros((num_layers * num_dirs, batch, hidden), x.dtype)
 
+    # Fused bidirectional scan is available but measured SLOWER on TPU at
+    # the flagship shapes (batched (2,B,H)x(2,H,3H) matmuls tile worse than
+    # two full-width directional matmuls: 180ms vs 88ms per bench step) —
+    # opt-in only.
+    fuse_bidir = num_dirs == 2 and _GRU_IMPL != "pallas" and os.environ.get(
+        "INPAINTNET_BIDIR_FUSED", "0"
+    ) == "1"
     out = x
     h_n = []
     for layer in range(num_layers):
-        outs_dir = []
-        for d in range(num_dirs):
-            h0_ld = h0[layer * num_dirs + d]
-            o, h_last = gru_layer_apply(
-                params[layer][d], out, h0_ld, reverse=(d == 1), mask=mask
+        if fuse_bidir:
+            h0_pair = jnp.stack(
+                [h0[layer * 2], h0[layer * 2 + 1]]
             )
-            outs_dir.append(o)
-            h_n.append(h_last)
-        out = outs_dir[0] if num_dirs == 1 else jnp.concatenate(outs_dir, axis=-1)
+            out, h_last_pair = _gru_layer_bidir_ckpt(
+                params[layer][0], params[layer][1], out, h0_pair, mask
+            )
+            h_n.extend([h_last_pair[0], h_last_pair[1]])
+        else:
+            outs_dir = []
+            for d in range(num_dirs):
+                h0_ld = h0[layer * num_dirs + d]
+                o, h_last = gru_layer_apply(
+                    params[layer][d], out, h0_ld, reverse=(d == 1), mask=mask
+                )
+                outs_dir.append(o)
+                h_n.append(h_last)
+            out = outs_dir[0] if num_dirs == 1 else jnp.concatenate(outs_dir, axis=-1)
         if train and dropout > 0.0 and layer < num_layers - 1:
             if rng is None:
                 raise ValueError("dropout requires an rng key in train mode")

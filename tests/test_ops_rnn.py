@@ -118,3 +118,24 @@ def test_kl_matches_torch():
         torch.distributions.Normal(torch.zeros(4, 6), torch.ones(4, 6)),
     )
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=1e-5)
+
+
+def test_bidir_fused_matches_directional():
+    """The fused bidirectional scan equals two directional scans, with and
+    without masks."""
+    from inpaintnet_tpu.ops.gru import gru_layer_apply, gru_layer_bidir_fused
+
+    key = jax.random.PRNGKey(11)
+    B, T, IN, H = 3, 9, 5, 8
+    params = gru_init(key, IN, H, 1, bidirectional=True)[0]
+    x = jax.random.normal(jax.random.PRNGKey(12), (B, T, IN))
+    h0 = jnp.zeros((2, B, H))
+    for mask in (None, jnp.concatenate([jnp.ones((B, 5)), jnp.zeros((B, T - 5))], 1)):
+        of, hf = gru_layer_apply(params[0], x, h0[0], mask=mask)
+        ob, hb = gru_layer_apply(params[1], x, h0[1], reverse=True, mask=mask)
+        out_fused, h_fused = gru_layer_bidir_fused(params[0], params[1], x, h0, mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.concatenate([of, ob], -1), atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(h_fused[0]), np.asarray(hf), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_fused[1]), np.asarray(hb), atol=1e-5)

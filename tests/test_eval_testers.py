@@ -124,3 +124,29 @@ def test_midi_roundtrip(env, tmp_path):
     assert len(notes) == len(orig)
     for (o1, d1, p1), (o2, d2, p2) in zip(notes, orig):
         assert p1 == p2 and o1 == o2 and d1 == d2
+
+
+def test_eval_report(env, tmp_path):
+    """One HTML artifact collating metrics, latent plots and ABC samples."""
+    from inpaintnet_tpu.eval.report import build_report
+    from inpaintnet_tpu.models import LatentRNN
+
+    ds, vae, ckpt = env
+    model = LatentRNN(
+        ds, vae, num_rnn_layers=2, rnn_hidden_size=16, dropout=0.5,
+        auto_reg=False, checkpoint_dir=ckpt,
+    )
+    model.init(jax.random.PRNGKey(3))
+    vt = VAETester(ds, vae)
+    lt = LatentRNNTester(ds, model)
+    out = build_report(
+        vae_tester=vt, latent_tester=lt,
+        out_path=str(tmp_path / "report.html"), num_samples=1, batch_size=4,
+        plot=False,
+    )
+    with open(out) as f:
+        doc = f.read()
+    assert "MeasureVAE reconstruction" in doc
+    assert "LatentRNN (InpaintNet) inpainting" in doc
+    assert "Inpainting sample 0" in doc
+    assert "X:1" in doc  # embedded ABC

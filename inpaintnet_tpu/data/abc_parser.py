@@ -334,6 +334,10 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
                 # treated as replacing state going forward
                 body_lines.append(f"[{key}:{val}]")
             continue
+        if m and in_body:
+            # other info lines inside the body (W: lyrics, N: notes, ...)
+            # must never be read as note letters
+            continue
         if in_body:
             body_lines.append(line)
 

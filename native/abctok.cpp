@@ -303,6 +303,8 @@ Tune parse_abc(const std::string& text, bool expand) {
         body_lines.push_back("[" + std::string(1, key) + ":" + val + "]");
       continue;
     }
+    if (in_body && line.size() >= 2 && isalpha((unsigned char)line[0]) && line[1] == ':')
+      continue;  // other info lines (W: lyrics etc.) are not note content
     if (in_body) body_lines.push_back(line);
   }
   if (!headers.count('K')) { tune.error = "missing K header"; return tune; }

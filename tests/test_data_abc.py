@@ -162,3 +162,26 @@ def test_chord_symbols_rejected():
     abc = 'X:1\nT:c\nM:4/4\nK:C\n"G" GABc|]\n'
     with pytest.raises(Exception):
         parse_abc(abc)
+
+
+def test_body_info_lines_skipped():
+    """Info lines inside the body (W: lyrics, N: notes) are never read as
+    note letters — in both the Python parser and the native tokenizer."""
+    abc = """X:1
+T:t
+M:4/4
+L:1/4
+K:C
+CDEF|
+W:we all live in a yellow submarine
+GABc|]
+"""
+    score = parse_abc(abc)
+    names = [n.pitch.name for n in score.notes]
+    assert names == ["C4", "D4", "E4", "F4", "G4", "A4", "B4", "C5"]
+
+    from inpaintnet_tpu.data.native import NativeTokenizer
+
+    if NativeTokenizer.available():
+        info = NativeTokenizer.info(abc)
+        assert info["num_notes"] == 8

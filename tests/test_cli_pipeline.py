@@ -121,3 +121,21 @@ def test_arnn_and_joint_eval(workdir):
         "--batch_size", "4", "--num_target", "2",
     )
     assert "latent_rnn_loss" in out and "arnn_loss" in out
+    # all four checkpoints exist now: run the listening-test batch generator
+    out = _run(
+        workdir, "script_gen_diff_models.py",
+        *TINY, *TINY_LATENT,
+        "--metadata_embedding_dim", "4",
+        "--num_layers", "1", "--lstm_hidden_size", "16",
+        "--linear_hidden_size", "12",
+        *common,
+        "--num_melodies", "2",
+        "--save_folder", os.path.join(workdir, "diff_midi"),
+    )
+    mids = glob.glob(os.path.join(workdir, "diff_midi", "*.mid"))
+    abcs = glob.glob(os.path.join(workdir, "diff_midi", "*.abc"))
+    # per usable melody: original + latent_rnn + arnn_reg + arnn_baseline
+    assert len(mids) >= 4 and len(mids) % 4 == 0
+    assert len(abcs) >= 2  # original + latent_rnn ABC exports
+    suffixes = {m.rsplit("_", 1)[-1] for m in mids}
+    assert {"original.mid", "baseline.mid", "reg.mid"} <= suffixes or len(mids) >= 8

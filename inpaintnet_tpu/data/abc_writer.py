@@ -16,7 +16,7 @@ from __future__ import annotations
 from fractions import Fraction
 from typing import List
 
-from inpaintnet_tpu.data.score import Note, Pitch, Score
+from inpaintnet_tpu.data.score import Pitch, Score
 
 _UNIT_QL = Fraction(1, 2)  # L:1/8 in quarterLength
 

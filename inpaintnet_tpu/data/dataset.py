@@ -32,9 +32,7 @@ from inpaintnet_tpu.data.metadata import Metadata, metadata_tensor
 from inpaintnet_tpu.data.score import Score
 from inpaintnet_tpu.data.tokenizer import (
     DEFAULT_PITCH_RANGE,
-    END_SYMBOL,
     REST,
-    START_SYMBOL,
     SUBDIVISION,
     TICK_VALUES,
     Vocabulary,

@@ -11,7 +11,7 @@ import struct
 from fractions import Fraction
 from typing import List, Tuple
 
-from inpaintnet_tpu.data.score import Note, Score
+from inpaintnet_tpu.data.score import Score
 
 TICKS_PER_QUARTER = 480
 DEFAULT_TEMPO_US = 500_000  # 120 bpm

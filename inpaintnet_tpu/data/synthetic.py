@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import List, Optional
+from typing import List
 
 _KEYS = ["D", "G", "A", "Em", "Ador", "Bm", "C", "F"]
 _KEY_SCALES = {

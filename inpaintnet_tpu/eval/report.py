@@ -10,7 +10,7 @@ from __future__ import annotations
 import base64
 import html
 import os
-from typing import List, Optional, Tuple
+from typing import List
 
 
 class EvalReport:

@@ -3,8 +3,6 @@ test-set NLL/accuracy, latent interpolation, latent-space probes."""
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,7 @@ from inpaintnet_tpu.models import (
     LatentRNN,
     MeasureVAE,
 )
-from inpaintnet_tpu.train import split_score, split_to_measures
+from inpaintnet_tpu.train import split_score
 
 NUM_PAST, NUM_TARGET, NUM_FUTURE = 6, 4, 6  # reference :144-148
 

@@ -133,7 +133,10 @@ class LatentRNN(Model):
         """Final bi-GRU hidden over a masked latent sequence
         (latent_rnn.py:176-209). Returns (L*2, B, H)."""
         p = params["context_rnn_past" if which == "past" else "context_rnn_future"]
-        _, h_n = gru_apply(p, z, mask=mask, dropout=self.dropout, rng=rng, train=train)
+        _, h_n = gru_apply(
+            p, z, mask=mask, dropout=self.dropout, rng=rng, train=train,
+            last_outputs=False,  # only the final hidden is consumed
+        )
         return h_n
 
     # --- main forward ---------------------------------------------------------- #
@@ -171,10 +174,25 @@ class LatentRNN(Model):
             target_mask = jnp.ones((batch, target.shape[1]))
 
         keys = jax.random.split(rng, 8)
-        zp = self.get_z_seq(vae_params, past_context, train=train, rng=keys[0])
-        zf = self.get_z_seq(vae_params, future_context, train=train, rng=keys[1])
-        if target is not None:
-            zt = self.get_z_seq(vae_params, target, train=train, rng=keys[2])
+        # ONE frozen-encoder pass over all needed segments (concatenated on
+        # the measure axis): separate 24-step encoder scans collapse into
+        # one with more rows per recurrent matmul; identical distribution
+        # (rsample noise is i.i.d. per element either way). The target is
+        # only encoded when the autoregressive path can consume z_target —
+        # the reference encodes it unconditionally (latent_rnn.py:133) but
+        # in the non-autoreg config that work is dead (deliberate fix).
+        max_future = future_context.shape[1]
+        need_target = self.auto_reg and target is not None
+        segments = [past_context, future_context]
+        if need_target:
+            segments.append(target)
+        z_all = self.get_z_seq(
+            vae_params, jnp.concatenate(segments, axis=1), train=train, rng=keys[0]
+        )
+        zp = z_all[:, :max_past]
+        zf = z_all[:, max_past : max_past + max_future]
+        if need_target:
+            zt = z_all[:, max_past + max_future :]
         else:
             zt = jnp.zeros((batch, target_mask.shape[1], self.z_dim), zp.dtype)
 

@@ -43,7 +43,7 @@ from inpaintnet_tpu.ops import (
     sample_argmax,
     sample_categorical,
 )
-from inpaintnet_tpu.ops.gru import gru_stack_cell_apply
+from inpaintnet_tpu.ops.gru import _gru_gates, gru_stack_cell_apply
 
 NUM_BEATS_PER_MEASURE = 4  # measure_vae.py:40-42
 NUM_TICKS_PER_MEASURE = 24
@@ -96,12 +96,45 @@ class Encoder:
             "log_std_head": mlp_selu_init(k_std, hid_cat, hid_mid, self.z_dim),
         }
 
+    def _use_pallas(self, params) -> bool:
+        """Fused inference kernel eligibility (ops/encoder_pallas.py).
+
+        TPU-only, 2-layer bidirectional, and the layer-1 weights must fit
+        VMEM alongside the pipeline blocks (~10 MB budget; f32 at H=512
+        does not fit — serving runs bf16)."""
+        import os
+
+        if os.environ.get("INPAINTNET_ENCODER_IMPL", "pallas") != "pallas":
+            return False
+        if not (self.bidirectional and self.num_layers == 2):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        H = self.rnn_hidden_size
+        w = params["gru"][1][0]["w_hh"]
+        weight_bytes = (2 * (2 * H * 3 * H) + 2 * (H * 3 * H)) * w.dtype.itemsize
+        return weight_bytes < 10e6
+
     def apply(self, params, score_tensor, *, train: bool = False, rng=None) -> DiagNormal:
         """:param score_tensor: (B, T) int tokens -> DiagNormal over z."""
         batch = score_tensor.shape[0]
+        if not train and self._use_pallas(params):
+            from inpaintnet_tpu.ops.encoder_pallas import encoder_hn_pallas
+
+            h_n = encoder_hn_pallas(
+                params["gru"], params["embedding"]["table"], score_tensor
+            )
+            hidden = jnp.transpose(h_n, (1, 0, 2)).reshape(batch, -1)
+            z_mean = mlp_selu_apply(params["mean_head"], hidden)
+            z_log_std = mlp_selu_apply(params["log_std_head"], hidden)
+            return DiagNormal(z_mean, jnp.exp(z_log_std))
         emb = embedding_apply(params["embedding"], score_tensor)
         _, h_n = gru_apply(
-            params["gru"], emb, dropout=self.dropout, rng=rng, train=train
+            params["gru"], emb, dropout=self.dropout, rng=rng, train=train,
+            last_outputs=False,  # only h_n is consumed
+            # serving: skip the (B, T, 3H) HBM xw slabs; training keeps the
+            # batched projection (one matmul in the backward pass)
+            xw_inloop=not train,
         )
         # torch layout concat (encoder.py:126-127): (L*D, B, H) -> (B, L*D*H)
         hidden = jnp.transpose(h_n, (1, 0, 2)).reshape(batch, -1)
@@ -232,6 +265,21 @@ class HierarchicalDecoder:
         """24-step autoregressive decode as one ``lax.scan``; the per-beat
         hidden re-init (decoder.py:494) is a masked select at t % 6 == 0.
 
+        MXU-conscious formulation: layer-0's input projection is hoisted out
+        of the sequential loop entirely —
+
+        * embedding∘linear fuse: ``emb(tok) @ W_ih0[:E]`` is one row of a
+          precomputed ``(V, 3H)`` table (a linear of a one-hot lookup is a
+          lookup into the product table), so the loop does a (B,)-row gather
+          instead of a (B, E+H) x (E+H, 3H) matmul;
+        * the beat-context part ``ctx @ W_ih0[E:]`` is one batched matmul
+          over all 24 ticks before the scan.
+
+        The loop body is left with only the recurrent matmuls (hidden +
+        inter-layer), gate math, head and sample — algebraically identical
+        to the reference's per-tick ``cat(emb, ctx) @ W_ih`` (decoder.py:
+        473-529).
+
         :return: (logits (B, 24, V), samples (B, 24))
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -252,7 +300,14 @@ class HierarchicalDecoder:
         h_init_t = jnp.take(h_inits, beat_idx, axis=2)  # (L, B, 24, H)
         step_keys = jax.random.split(r_scan, NUM_TICKS_PER_MEASURE)
 
-        x0 = jnp.broadcast_to(params["x_0"][None, :], (batch, self.note_embedding_dim))
+        E = self.note_embedding_dim
+        p0 = params["tick_gru"][0][0]
+        token_xw = params["embedding"]["table"] @ p0["w_ih"][:E]  # (V, 3H)
+        ctx_xw = ctx_t @ p0["w_ih"][E:] + p0["b_ih"]  # (B, 24, 3H)
+        x0_xw = jnp.broadcast_to(
+            (params["x_0"] @ p0["w_ih"][:E])[None, :],
+            (batch, token_xw.shape[-1]),
+        )
         h_carry0 = jnp.zeros(
             (self.num_layers, batch, self.rnn_hidden_size), params["x_0"].dtype
         )
@@ -260,16 +315,26 @@ class HierarchicalDecoder:
         multinomial = train and self.sampling == "multinomial"
 
         def step(carry, xs_t):
-            h, prev_emb = carry
-            ctx, h_init, do_reset, key, tick = xs_t
+            h, prev_xw = carry
+            ctxw, h_init, do_reset, key, tick = xs_t
             h = jnp.where(do_reset, h_init, h)
-            x = jnp.concatenate([prev_emb, ctx], axis=-1)
             k_drop, k_samp = jax.random.split(key)
-            h, out = gru_stack_cell_apply(
-                params["tick_gru"], h, x,
-                dropout=self.dropout, rng=k_drop, train=train,
-            )
-            logits = self._logits(params, out)
+            xw = prev_xw + ctxw
+            new_h = []
+            inp = None
+            for layer in range(self.num_layers):
+                p = params["tick_gru"][layer][0]
+                if layer > 0:
+                    xw = inp @ p["w_ih"] + p["b_ih"]
+                h_l = _gru_gates(p, h[layer], xw)
+                new_h.append(h_l)
+                inp = h_l
+                if train and self.dropout > 0.0 and layer < self.num_layers - 1:
+                    k_drop, sub = jax.random.split(k_drop)
+                    keep = jax.random.bernoulli(sub, 1.0 - self.dropout, inp.shape)
+                    inp = jnp.where(keep, inp / (1.0 - self.dropout), 0.0)
+            h = jnp.stack(new_h)
+            logits = self._logits(params, inp)
             if multinomial:
                 sampled = sample_categorical(k_samp, logits)
             else:
@@ -279,17 +344,17 @@ class HierarchicalDecoder:
                 sampled_in = score_tensor[:, tick]
             else:
                 sampled_in = sampled
-            new_emb = embedding_apply(params["embedding"], sampled_in)
-            return (h, new_emb), (logits, sampled)
+            next_xw = jnp.take(token_xw, sampled_in, axis=0)
+            return (h, next_xw), (logits, sampled)
 
         xs = (
-            jnp.swapaxes(ctx_t, 0, 1),  # (24, B, H)
+            jnp.swapaxes(ctx_xw, 0, 1),  # (24, B, 3H)
             jnp.transpose(h_init_t, (2, 0, 1, 3)),  # (24, L, B, H)
             reset,
             step_keys,
             ts,
         )
-        (_, _), (logits, samples) = lax.scan(step, (h_carry0, x0), xs)
+        (_, _), (logits, samples) = lax.scan(step, (h_carry0, x0_xw), xs)
         return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(samples, 0, 1)
 
     def _sample(self, logits, train, rng):

@@ -1,0 +1,263 @@
+"""Fused Pallas kernels for the bidirectional-GRU measure encoder.
+
+The encoder (reference ``MeasureVAE/encoder.py:28-35``: 2-layer bi-GRU,
+hidden 512, T=24) is the dominant serving cost. The XLA ``lax.scan``
+formulation runs at ~28% of bf16 MXU peak at large batch because every
+step streams (B, 3H) gate slabs and the (B, H) carry through HBM. These
+kernels restructure the computation so per-step traffic is one small
+VMEM block per direction:
+
+- **Grid-over-time pipelining**: grid = (batch_tiles, T) with t fastest.
+  Pallas' own block pipeline double-buffers the per-(tile, t) input blocks
+  HBM->VMEM; the hidden carry lives in a VMEM scratch that persists across
+  the t-axis of the grid. No manual DMA/semaphores (the round-1 manual-DMA
+  kernel deadlocked at large grids through the hosted runtime).
+- **Both directions in one kernel**: the forward carry processes t while
+  the backward carry processes T-1-t (two independent (TILE_B, H) x
+  (H, 3H) MXU matmuls per step, full-width — unlike the rejected batched
+  (2, B, H) einsum formulation).
+- **Layer 0 from tokens**: the embedding (E=10) followed by the input
+  projection collapses into a per-direction fused table
+  ``emb_table @ W_ih`` of shape (V, 3H); the kernel one-hot-matmuls the
+  token block against it (a lookup on the MXU), so layer 0 reads only the
+  int32 tokens — the (B, T, 3H) xw slab never exists.
+- **Layer 1 emits final hiddens only**: the encoder consumes nothing but
+  ``h_n`` (encoder.py:126-127), so layer 1 writes 4 x (B, H) instead of
+  (B, T, 2H) sequences.
+
+Weights stay VMEM-resident across the whole grid (constant index maps).
+VMEM budget at H=512, TILE_B=256, bf16: layer 1 holds 2x(2H,3H) + 2x(H,3H)
+weights ≈ 9 MB + blocks/scratch ≈ 2.5 MB. f32 at H=512 does not fit —
+callers should pass bf16 (serving dtype); tests run interpret mode.
+
+Numerics: matmuls accumulate f32 (``preferred_element_type``), gate math
+in f32, carry stored in the input dtype. For f32 inputs this is exact vs
+the XLA scan; for bf16 it is slightly *more* accurate.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _gates_f32(xw, hw, hidden, h_prev):
+    r = jax.nn.sigmoid(xw[:, :hidden] + hw[:, :hidden])
+    z = jax.nn.sigmoid(xw[:, hidden : 2 * hidden] + hw[:, hidden : 2 * hidden])
+    n = jnp.tanh(xw[:, 2 * hidden :] + r * hw[:, 2 * hidden :])
+    return (1.0 - z) * n + z * h_prev
+
+
+def _l0_kernel(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
+               whh_f_ref, whh_b_ref, bih_ref, bhh_ref,
+               ysf_ref, ysb_ref, hnf_ref, hnb_ref,
+               hf_scratch, hb_scratch, *, seq_len: int, hidden: int,
+               vocab_pad: int, out_dtype):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        hf_scratch[:] = jnp.zeros_like(hf_scratch)
+        hb_scratch[:] = jnp.zeros_like(hb_scratch)
+
+    def direction(tok_ref, tab_ref, whh_ref, h_scratch, ys_ref, hn_ref, d):
+        tok = tok_ref[0, 0]  # (TILE_B,) int32
+        onehot = (
+            tok[:, None]
+            == lax.broadcasted_iota(jnp.int32, (tok.shape[0], vocab_pad), 1)
+        ).astype(tab_ref.dtype)
+        xw = (
+            jnp.dot(onehot, tab_ref[:], preferred_element_type=jnp.float32)
+            + bih_ref[d].astype(jnp.float32)
+        )
+        h = h_scratch[:].astype(jnp.float32)
+        hw = (
+            jnp.dot(h_scratch[:], whh_ref[:], preferred_element_type=jnp.float32)
+            + bhh_ref[d].astype(jnp.float32)
+        )
+        h_new = _gates_f32(xw, hw, hidden, h)
+        h_store = h_new.astype(out_dtype)
+        h_scratch[:] = h_store
+        ys_ref[0] = h_store
+
+        @pl.when(t == seq_len - 1)
+        def _():
+            hn_ref[:] = h_store
+
+    direction(tok_f_ref, tab_f_ref, whh_f_ref, hf_scratch, ysf_ref, hnf_ref, 0)
+    direction(tok_b_ref, tab_b_ref, whh_b_ref, hb_scratch, ysb_ref, hnb_ref, 1)
+
+
+def _l1_kernel(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
+               wih_f_ref, wih_b_ref, whh_f_ref, whh_b_ref,
+               bih_ref, bhh_ref,
+               hnf_ref, hnb_ref, hf_scratch, hb_scratch,
+               *, seq_len: int, hidden: int, out_dtype):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        hf_scratch[:] = jnp.zeros_like(hf_scratch)
+        hb_scratch[:] = jnp.zeros_like(hb_scratch)
+
+    def direction(x1_ref, x2_ref, wih_ref, whh_ref, h_scratch, hn_ref, d):
+        x = jnp.concatenate([x1_ref[0], x2_ref[0]], axis=-1)  # (TILE_B, 2H)
+        xw = (
+            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
+            + bih_ref[d].astype(jnp.float32)
+        )
+        h = h_scratch[:].astype(jnp.float32)
+        hw = (
+            jnp.dot(h_scratch[:], whh_ref[:], preferred_element_type=jnp.float32)
+            + bhh_ref[d].astype(jnp.float32)
+        )
+        h_new = _gates_f32(xw, hw, hidden, h)
+        h_store = h_new.astype(out_dtype)
+        h_scratch[:] = h_store
+
+        @pl.when(t == seq_len - 1)
+        def _():
+            hn_ref[:] = h_store
+
+    direction(xf_f_ref, xb_f_ref, wih_f_ref, whh_f_ref, hf_scratch, hnf_ref, 0)
+    direction(xf_b_ref, xb_b_ref, wih_b_ref, whh_b_ref, hb_scratch, hnb_ref, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int = 256,
+                      interpret: bool = False):
+    """Final hidden states of the 2-layer bidirectional encoder GRU.
+
+    :param gru_params: ``gru_init(E, H, 2, bidirectional=True)`` pytree
+    :param emb_table: (V, E) note-embedding table
+    :param tokens: (B, T) int32
+    :return: h_n (4, B, H) in torch layout [l0f, l0b, l1f, l1b]
+    """
+    batch, seq_len = tokens.shape
+    p0f, p0b = gru_params[0][0], gru_params[0][1]
+    p1f, p1b = gru_params[1][0], gru_params[1][1]
+    hidden = p0f["w_hh"].shape[0]
+    dtype = p0f["w_hh"].dtype
+    vocab = emb_table.shape[0]
+    vocab_pad = _round_up(vocab, 8)
+
+    # embedding ∘ input-projection fused tables, padded on the vocab axis
+    def fused(p):
+        tab = emb_table @ p["w_ih"]  # (V, 3H)
+        return jnp.pad(tab, ((0, vocab_pad - vocab), (0, 0)))
+
+    tab_f, tab_b = fused(p0f), fused(p0b)
+
+    tile_b = min(tile_b, _round_up(batch, 8))
+    padded_b = _round_up(batch, tile_b)
+    if padded_b != batch:
+        tokens = jnp.pad(tokens, ((0, padded_b - batch), (0, 0)))
+    # (T, 1, B): leading time axis untiled (one block per grid step), the
+    # singleton keeps the last-two-dims tiling constraint satisfiable
+    tok_t = jnp.swapaxes(tokens, 0, 1).astype(jnp.int32)[:, None, :]
+    n_tiles = padded_b // tile_b
+    grid = (n_tiles, seq_len)
+    three_h = 3 * hidden
+
+    def const(i, t):
+        return (0, 0)
+
+    bih01 = jnp.stack([p0f["b_ih"], p0b["b_ih"]])  # (2, 3H)
+    bhh01 = jnp.stack([p0f["b_hh"], p0b["b_hh"]])
+
+    l0 = functools.partial(
+        _l0_kernel, seq_len=seq_len, hidden=hidden, vocab_pad=vocab_pad,
+        out_dtype=dtype,
+    )
+    ysf, ysb, hn0f, hn0b = pl.pallas_call(
+        l0,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, tile_b), lambda i, t: (t, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_b), lambda i, t: (seq_len - 1 - t, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vocab_pad, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((vocab_pad, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_b, hidden), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, hidden), lambda i, t: (seq_len - 1 - t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, padded_b, hidden), dtype),
+            jax.ShapeDtypeStruct((seq_len, padded_b, hidden), dtype),
+            jax.ShapeDtypeStruct((padded_b, hidden), dtype),
+            jax.ShapeDtypeStruct((padded_b, hidden), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, hidden), dtype),
+            pltpu.VMEM((tile_b, hidden), dtype),
+        ],
+        interpret=interpret,
+    )(tok_t, tok_t, tab_f, tab_b, p0f["w_hh"], p0b["w_hh"], bih01, bhh01)
+
+    bih11 = jnp.stack([p1f["b_ih"], p1b["b_ih"]])
+    bhh11 = jnp.stack([p1f["b_hh"], p1b["b_hh"]])
+    l1 = functools.partial(
+        _l1_kernel, seq_len=seq_len, hidden=hidden, out_dtype=dtype,
+    )
+    ys_spec_fwd = pl.BlockSpec((1, tile_b, hidden), lambda i, t: (t, i, 0),
+                               memory_space=pltpu.VMEM)
+    ys_spec_bwd = pl.BlockSpec(
+        (1, tile_b, hidden), lambda i, t: (seq_len - 1 - t, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    hn1f, hn1b = pl.pallas_call(
+        l1,
+        grid=grid,
+        in_specs=[
+            ys_spec_fwd,  # ysf at t (forward direction input, first half)
+            ys_spec_fwd,  # ysb at t (forward direction input, second half)
+            ys_spec_bwd,  # ysf at T-1-t (backward direction input)
+            ys_spec_bwd,  # ysb at T-1-t
+            pl.BlockSpec((2 * hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_b, hidden), dtype),
+            jax.ShapeDtypeStruct((padded_b, hidden), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, hidden), dtype),
+            pltpu.VMEM((tile_b, hidden), dtype),
+        ],
+        interpret=interpret,
+    )(ysf, ysb, ysf, ysb, p1f["w_ih"], p1b["w_ih"], p1f["w_hh"], p1b["w_hh"],
+      bih11, bhh11)
+
+    h_n = jnp.stack([hn0f, hn0b, hn1f, hn1b], axis=0)
+    return h_n[:, :batch]

@@ -213,6 +213,25 @@ class HierarchicalDecoder:
         # ReLU on logits — load-bearing reference quirk (decoder.py:369-372)
         return jax.nn.relu(linear_apply(params["head"], tick_out))
 
+    def _use_pallas_decode(self, params) -> bool:
+        """Fused 24-tick decode kernel eligibility (ops/decode_pallas.py):
+        TPU, 2 tick-GRU layers, argmax sampling, weights fit VMEM."""
+        import os
+
+        if os.environ.get("INPAINTNET_DECODE_IMPL", "pallas") != "pallas":
+            return False
+        if self.num_layers != 2 or self.sampling != "argmax":
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        H = self.rnn_hidden_size
+        w = params["tick_gru"][0][0]["w_hh"]
+        vocab_pad = (self.num_notes + 127) // 128 * 128
+        weight_bytes = (
+            3 * H * 3 * H + H * vocab_pad + vocab_pad * 3 * H
+        ) * w.dtype.itemsize
+        return weight_bytes < 10e6
+
     # --- teacher-forced parallel path --------------------------------------- #
     def decode_teacher_forced(self, params, z, score_tensor, *, train, rng):
         """All 4 beats decoded in parallel; inputs are ground truth.
@@ -292,6 +311,11 @@ class HierarchicalDecoder:
         h_inits = self._tick_h0(
             params, beat_out.reshape(batch * NUM_BEATS_PER_MEASURE, -1)
         ).reshape(self.num_layers, batch, NUM_BEATS_PER_MEASURE, -1)
+
+        if score_tensor is None and not train and self._use_pallas_decode(params):
+            from inpaintnet_tpu.ops.decode_pallas import decode_sampling_pallas
+
+            return decode_sampling_pallas(params, tick_ctx, h_inits)
 
         ts = jnp.arange(NUM_TICKS_PER_MEASURE)
         beat_idx = ts // TICKS_PER_BEAT

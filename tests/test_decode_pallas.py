@@ -1,0 +1,45 @@
+"""Parity tests for the fused Pallas sampling-decode kernel (interpret
+mode on the CPU backend; real-chip numbers in docs/PERFORMANCE.md)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inpaintnet_tpu.models.measure_vae import (
+    NUM_BEATS_PER_MEASURE,
+    HierarchicalDecoder,
+)
+from inpaintnet_tpu.ops.decode_pallas import decode_sampling_pallas
+from inpaintnet_tpu.ops.linear import linear_apply
+
+
+def _setup(vocab=30, batch=12, hidden=32, z_dim=16):
+    dec = HierarchicalDecoder(
+        note_embedding_dim=10, num_notes=vocab, z_dim=z_dim,
+        num_layers=2, rnn_hidden_size=hidden, dropout=0.5,
+    )
+    params = dec.init_params(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (batch, z_dim))
+    beat_out = dec._beat_outputs(params, z, train=False, rng=jax.random.PRNGKey(9))
+    tick_ctx = jax.nn.selu(linear_apply(params["beat_to_tick_input"], beat_out))
+    h_inits = dec._tick_h0(
+        params, beat_out.reshape(batch * NUM_BEATS_PER_MEASURE, -1)
+    ).reshape(2, batch, NUM_BEATS_PER_MEASURE, -1)
+    return dec, params, z, tick_ctx, h_inits
+
+
+@pytest.mark.parametrize("batch", [12, 13])  # 13 exercises batch padding
+def test_decode_pallas_matches_scan(batch):
+    dec, params, z, tick_ctx, h_inits = _setup(batch=batch)
+    lw, ls = dec.decode_sampling(params, z, train=False, rng=jax.random.PRNGKey(2))
+    pw, ps = decode_sampling_pallas(params, tick_ctx, h_inits, tile_b=8,
+                                    interpret=True)
+    assert pw.shape == lw.shape and ps.shape == ls.shape
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(ls))
+    np.testing.assert_allclose(np.asarray(pw), np.asarray(lw), atol=1e-5)
+
+
+def test_decode_gate_cpu():
+    """CPU backend keeps the XLA scan path."""
+    dec, params, *_ = _setup()
+    assert not dec._use_pallas_decode(params)

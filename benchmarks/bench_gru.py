@@ -32,16 +32,24 @@ scan = jax.jit(lambda: gru_layer_apply(params, x, h0, impl="xla")[1])
 pallas = jax.jit(lambda: gru_layer_apply(params, x, h0, impl="pallas")[1])
 
 import numpy as np
-np.testing.assert_allclose(np.asarray(scan()), np.asarray(pallas()), atol=1e-4)
+np.testing.assert_allclose(
+    np.asarray(scan()), np.asarray(pallas()), atol=1e-4
+)
 t_scan = timeit(scan)
 t_pallas = timeit(pallas)
-print(f"B={B} H={H} T={T}: scan {t_scan:.3f} ms, pallas {t_pallas:.3f} ms, "
-      f"speedup {t_scan / t_pallas:.2f}x")
+print(f"B={B} H={H} T={T}: scan {t_scan:.3f} ms, "
+      f"pallas-stream {t_pallas:.3f} ms, speedup {t_scan / t_pallas:.2f}x")
 
-# The DMA-pipelined variant is opt-in: correct in interpret mode and on
-# small grids on hardware, but hangs at large grid counts through the
-# hosted TPU tunnel (suspected remote-runtime semaphore issue) — pass
-# --dma to measure it.
+# The old whole-slab kernel (VMEM-capped tile_b) — pass --slab to measure.
+if "--slab" in sys.argv:
+    from inpaintnet_tpu.ops.gru_pallas import gru_layer_pallas
+    xw = x @ params["w_ih"] + params["b_ih"]
+    slab = jax.jit(lambda: gru_layer_pallas(xw, params["w_hh"], params["b_hh"], h0)[1])
+    np.testing.assert_allclose(np.asarray(scan()), np.asarray(slab()), atol=1e-4)
+    print(f"pallas-slab (tile 16): {timeit(slab):.3f} ms")
+
+# The manual-DMA variant is fenced (deadlocks at grid > 8 on the hosted
+# runtime); pass --dma to measure it at small grids only.
 if "--dma" in sys.argv:
     from inpaintnet_tpu.ops.gru_pallas import gru_layer_pallas_dma
     xw = x @ params["w_ih"] + params["b_ih"]

@@ -131,10 +131,10 @@ def _gru_layer_fwd(params, x, h0, mask, reverse, impl, want_ys, xw_inloop):
 def _gru_layer_impl(params, x, h0, mask, reverse, impl, want_ys=True,
                     xw_inloop=False):
     if impl == "pallas":
-        from inpaintnet_tpu.ops.gru_pallas import gru_layer_pallas
+        from inpaintnet_tpu.ops.gru_pallas import gru_layer_pallas_stream
 
         xw = x @ params["w_ih"] + params["b_ih"]
-        return gru_layer_pallas(
+        return gru_layer_pallas_stream(
             xw, params["w_hh"], params["b_hh"], h0, mask, reverse=reverse
         )
     if xw_inloop:

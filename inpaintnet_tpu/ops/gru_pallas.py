@@ -36,6 +36,124 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _gru_stream_kernel(xw_ref, w_hh_ref, b_hh_ref, h0_ref, mask_ref,
+                       ys_ref, hn_ref, h_scratch,
+                       *, seq_len: int, hidden: int, out_dtype):
+    """Grid-over-time step: one (tile_b, 3H) xw block per program, hidden
+    carry in VMEM scratch across the t axis of the grid. Pallas' own block
+    pipeline double-buffers the HBM streams — no manual DMA/semaphores
+    (the manual-DMA variant below deadlocked at large grids)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = h0_ref[:]
+
+    h = h_scratch[:]
+    xwt = xw_ref[0].astype(jnp.float32)
+    hw = (
+        jnp.dot(h, w_hh_ref[:], preferred_element_type=jnp.float32)
+        + b_hh_ref[0].astype(jnp.float32)
+    )
+    hf = h.astype(jnp.float32)
+    r = jax.nn.sigmoid(xwt[:, :hidden] + hw[:, :hidden])
+    z = jax.nn.sigmoid(xwt[:, hidden : 2 * hidden] + hw[:, hidden : 2 * hidden])
+    n = jnp.tanh(xwt[:, 2 * hidden :] + r * hw[:, 2 * hidden :])
+    h_new = (1.0 - z) * n + z * hf
+    m = mask_ref[0, 0]  # (tile_b,)
+    h_new = jnp.where(m[:, None] > 0, h_new.astype(out_dtype), h)
+    h_scratch[:] = h_new
+    ys_ref[0] = h_new
+
+    @pl.when(t == seq_len - 1)
+    def _():
+        hn_ref[:] = h_new
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "tile_b", "interpret"))
+def gru_layer_pallas_stream(xw, w_hh, b_hh, h0, mask=None, *,
+                            reverse: bool = False, tile_b: int = 256,
+                            interpret: bool = False):
+    """One GRU direction over a precomputed input projection, streamed.
+
+    grid = (batch_tiles, T) with t fastest; per step the kernel holds one
+    (tile_b, 3H) xw block + the VMEM-resident W_hh, so batch tiles fill the
+    MXU (256 rows) without the whole-slab variant's VMEM cap or the DMA
+    variant's manual semaphores. Semantics identical to
+    :func:`gru_layer_pallas`; this is the ``impl="pallas"`` default.
+
+    :param xw: (B, T, 3H) = x @ W_ih + b_ih
+    :param w_hh: (H, 3H); b_hh: (3H,); h0: (B, H)
+    :param mask: optional (B, T); masked steps freeze h
+    :return: (outputs (B, T, H), h_last (B, H))
+    """
+    batch, seq_len, three_h = xw.shape
+    hidden = three_h // 3
+    dtype = xw.dtype
+    if mask is None:
+        mask = jnp.ones((batch, seq_len), dtype)
+    else:
+        mask = mask.astype(dtype)
+    tile_b = min(tile_b, _round_up(batch, 8))
+    padded_b = _round_up(batch, tile_b)
+    if padded_b != batch:
+        pad = padded_b - batch
+        xw = jnp.pad(xw, ((0, pad), (0, 0), (0, 0)))
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+    grid = (padded_b // tile_b, seq_len)
+
+    xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, 3H)
+    mask_t = jnp.swapaxes(mask, 0, 1)[:, None, :]  # (T, 1, B)
+    b_hh2d = b_hh[None, :]
+
+    def tmap(i, t):
+        return ((seq_len - 1 - t) if reverse else t, i, 0)
+
+    def tmap_mask(i, t):
+        return ((seq_len - 1 - t) if reverse else t, 0, i)
+
+    kernel = functools.partial(
+        _gru_stream_kernel, seq_len=seq_len, hidden=hidden, out_dtype=dtype,
+    )
+    ys_t, h_n = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_b, three_h), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, three_h), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_b), tmap_mask, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_b, hidden), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, padded_b, hidden), dtype),
+            jax.ShapeDtypeStruct((padded_b, hidden), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_b, hidden), dtype)],
+        interpret=interpret,
+    )(xw_t, w_hh, b_hh2d, h0, mask_t)
+    return jnp.swapaxes(ys_t, 0, 1)[:batch], h_n[:batch]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# Grids beyond this deadlocked the manual-DMA kernel through the hosted TPU
+# runtime (remote-compile tunnel); the single easily-wedged chip makes a
+# hang far worse than an error, so refuse loudly above it.
+_DMA_MAX_GRID = 8
+
+
 def _gru_seq_dma_kernel(xw_hbm, w_hh_ref, b_hh_ref, h0_ref, mask_ref,
                         out_hbm, hn_ref,
                         xw_buf, out_buf, in_sems, out_sems,
@@ -211,7 +329,13 @@ def gru_layer_pallas_dma(xw, w_hh, b_hh, h0, mask=None, *,
                          interpret: bool = False):
     """DMA-pipelined variant: xw/outputs stream through HBM so batch tiles
     can fill the MXU (256 rows). Semantics identical to
-    :func:`gru_layer_pallas`."""
+    :func:`gru_layer_pallas`.
+
+    DEPRECATED in favor of :func:`gru_layer_pallas_stream` (same tile
+    sizes, Pallas-managed pipelining): the manual out-DMA semaphores here
+    deadlock at large grid counts on the hosted runtime. Kept for kernel
+    archaeology; refuses grids > ``_DMA_MAX_GRID`` outside interpret mode
+    so it can never wedge the chip."""
     batch, seq_len, three_h = xw.shape
     hidden = three_h // 3
     if mask is None:
@@ -226,6 +350,12 @@ def gru_layer_pallas_dma(xw, w_hh, b_hh, h0, mask=None, *,
         mask = jnp.pad(mask, ((0, pad), (0, 0)))
     padded_b = xw.shape[0]
     grid = (padded_b // tile_b,)
+    if not interpret and grid[0] > _DMA_MAX_GRID:
+        raise ValueError(
+            f"gru_layer_pallas_dma: grid {grid[0]} > {_DMA_MAX_GRID} is known "
+            "to deadlock on the hosted TPU runtime; use "
+            "gru_layer_pallas_stream instead"
+        )
 
     xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, 3H) in HBM
     mask_t = jnp.swapaxes(mask, 0, 1)[:, :, None]

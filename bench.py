@@ -127,10 +127,26 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
     }
 
 
+def _baseline_signature() -> str:
+    """Workload fingerprint for the cached CPU denominator: if the bench
+    geometry changes, a stale cache would silently skew vs_baseline."""
+    return (
+        f"b{CPU_BATCH}i{CPU_ITERS}-p{N_PAST}t{N_TARGET}f{N_FUTURE}"
+        "-h512z256v60"
+    )
+
+
 def cpu_baseline() -> float:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["measures_per_sec"]
+            cached = json.load(f)
+        if cached.get("signature") == _baseline_signature():
+            return cached["measures_per_sec"]
+        print(
+            "warning: bench_baseline.json was measured for a different "
+            "workload; re-measuring the CPU denominator",
+            file=sys.stderr,
+        )
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import bench, json; r = bench.measure_throughput(bench.CPU_BATCH, bench.CPU_ITERS, measure_latency=False);"
@@ -146,6 +162,7 @@ def cpu_baseline() -> float:
     if not line:
         raise RuntimeError(f"cpu baseline failed: {out.stderr[-2000:]}")
     r = json.loads(line[-1][2:])
+    r["signature"] = _baseline_signature()
     with open(BASELINE_CACHE, "w") as f:
         json.dump(r, f)
     return r["measures_per_sec"]

@@ -56,10 +56,21 @@ def shard_batch(mesh: Mesh, batch):
     A batch whose leading dim doesn't divide the data axis (tail eval
     batches) is placed replicated instead — every device then computes the
     full batch redundantly, which is correct and only wastes work on the
-    (rare) remainder batch."""
+    (rare) remainder batch. The fallback warns once per process so a
+    persistently-misdividing batch size can't silently serialize a pod."""
     data_axis = mesh.shape["data"]
     leaves = jax.tree_util.tree_leaves(batch)
     divisible = all(x.shape[0] % data_axis == 0 for x in leaves)
+    if not divisible:
+        import warnings
+
+        warnings.warn(
+            f"batch leading dim {leaves[0].shape[0]} does not divide the "
+            f"{data_axis}-way data axis; replicating this batch on every "
+            "device (correct but redundant — expected only for tail "
+            "batches)",
+            stacklevel=2,
+        )
     sh = batch_sharding(mesh) if divisible else replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from abc import ABC, abstractmethod
 from typing import Optional
 
@@ -144,7 +145,9 @@ class Trainer(ABC):
     def _fit_mesh_to_batch_size(self, batch: int):
         """Shrink the data axis to the largest divisor of the batch size so
         small (test/debug) batches still run; full-size batches keep the
-        full mesh."""
+        full mesh. Shrinking idles devices, so it WARNS loudly — and fails
+        under ``INPAINTNET_STRICT_MESH=1`` — rather than silently wasting
+        most of a pod on an awkward batch size."""
         import math
 
         data_axis = self.mesh.shape["data"]
@@ -152,6 +155,16 @@ class Trainer(ABC):
             return
         new_data = math.gcd(batch, data_axis)
         model_axis = self.mesh.shape.get("model", 1)
+        msg = (
+            f"batch size {batch} does not divide the {data_axis}-way data "
+            f"axis; shrinking the mesh to {new_data}x{model_axis} — "
+            f"{(data_axis - new_data) * model_axis} device(s) will idle. "
+            f"Pick a batch size divisible by {data_axis} to use the full "
+            "mesh."
+        )
+        if os.environ.get("INPAINTNET_STRICT_MESH", "0") == "1":
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
         self.mesh = make_mesh(
             num_devices=new_data * model_axis, data=new_data, model=model_axis
         )

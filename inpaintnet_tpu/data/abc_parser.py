@@ -112,8 +112,9 @@ def _parse_time_signature(m_field: str) -> Tuple[int, int]:
 
 @dataclass
 class _Event:
-    """A parsed note/rest before repeat expansion (durations in unit
-    lengths, converted to quarterLength later)."""
+    """A parsed note/rest before repeat expansion. Durations are stored in
+    quarterLengths at parse time (the unit length L: can change mid-tune,
+    so conversion cannot be deferred to materialization)."""
 
     pitch: Optional[Pitch]
     duration: Fraction
@@ -227,11 +228,11 @@ class _BodyParser:
                 alter = self.measure_accidentals[key]
             else:
                 alter = self.key_alters.get(step.upper(), 0)
-        dur = self._apply_length_mods(_parse_duration(dur_tok))
+        dur = self._apply_length_mods(_parse_duration(dur_tok)) * self.unit * 4
         self.bars[-1].events.append(_Event(_abc_pitch(step, octs, alter), dur, tie))
 
     def add_rest(self, dur_tok: str):
-        dur = self._apply_length_mods(_parse_duration(dur_tok))
+        dur = self._apply_length_mods(_parse_duration(dur_tok)) * self.unit * 4
         self.bars[-1].events.append(_Event(None, dur))
 
     def set_broken(self, tok: str):
@@ -326,13 +327,23 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
             key, val = m.group(1), m.group(2).strip()
             if key == "w":
                 continue
+            if in_body:
+                # mid-tune K:/M:/L: lines change state from that point on
+                # (like music21's mid-stream TimeSignature/KeySignature
+                # objects); the HEADER values stay first-wins so the
+                # score-level time signature is the opening one. V: voice
+                # markers are ignored here — multi-voice tunes are dropped
+                # by the corpus validity filter (folk_data_helpers.py:
+                # 544-560), matching the reference.
+                if key in ("M", "L", "K"):
+                    if body_lines:
+                        body_lines.append(f"[{key}:{val}]")
+                    else:  # field between K: and the first music line
+                        headers[key] = val
+                continue
             headers[key] = val
-            if key == "K" and not in_body:
+            if key == "K":
                 in_body = True
-            if in_body and key in ("M", "L", "K") and body_lines:
-                # mid-tune field changes unsupported in the folk subset:
-                # treated as replacing state going forward
-                body_lines.append(f"[{key}:{val}]")
             continue
         if m and in_body:
             # other info lines inside the body (W: lyrics, N: notes, ...)
@@ -350,6 +361,7 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
         unit = Fraction(1, 16) if Fraction(*time_sig) < Fraction(3, 4) else Fraction(1, 8)
 
     key_alters = key_signature_alters(headers["K"])
+    initial_time_sig = time_sig  # Score-level signature = the opening one
     num, den = time_sig
     compound = num in (6, 9, 12) and den == 8
     parser = _BodyParser(key_alters, unit)
@@ -372,7 +384,9 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
                 elif k == "L":
                     parser.unit = Fraction(v.replace(" ", ""))
                 elif k == "M":
-                    time_sig = _parse_time_signature(v)
+                    # affects subsequent full-bar rests only; the
+                    # score-level signature stays the opening one
+                    num, den = _parse_time_signature(v)
                 i = m.end()
                 continue
             m = _ENDING_RE.match(body, i)
@@ -441,10 +455,10 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
         if ch == "Z":  # multi-measure rest
             m2 = re.match(r"Z(\d*)", body[i:])
             count = int(m2.group(1)) if m2.group(1) else 1
-            bar_units = Fraction(num * 4, den) / (unit * 4)
+            bar_ql = Fraction(num * 4, den)
             for _ in range(count):
                 parser.add_rest("")
-                parser.bars[-1].events[-1].duration = bar_units
+                parser.bars[-1].events[-1].duration = bar_ql
                 parser.handle_barline("|")
             i += m2.end()
             continue
@@ -473,11 +487,10 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
     notes: List[Note] = []
     bar_durations: List[Fraction] = []
     offset = Fraction(0)
-    ql_per_unit = parser.unit * 4
     for bar in bars:
         bar_start = offset
         for ev in bar.events:
-            dur = ev.duration * ql_per_unit
+            dur = ev.duration  # already in quarterLengths
             if dur <= 0:
                 raise AbcParseError("zero or negative note duration")
             notes.append(Note(offset, dur, ev.pitch, ev.tie))
@@ -485,7 +498,7 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
         bar_durations.append(offset - bar_start)
     return Score(
         notes=notes,
-        time_signature=time_sig,
+        time_signature=initial_time_sig,
         title=headers.get("T", ""),
         bar_durations=bar_durations,
     )

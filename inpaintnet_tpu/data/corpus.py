@@ -69,6 +69,23 @@ def _tune_contains_chords(text: str) -> bool:
     return '"' in text  # folk_data_helpers.py:532-542
 
 
+def _tune_has_multiple_time_sigs(text: str) -> bool:
+    """The reference drops tunes with more than one music21 TimeSignature
+    object — i.e. any mid-tune M: change, even to the same value
+    (folk_data_helpers.py:287-289)."""
+    count = 0
+    in_body = False
+    for line in text.splitlines():
+        line = line.split("%", 1)[0]
+        if line.startswith("K:"):
+            in_body = True
+        if line.startswith("M:"):
+            count += 1
+        elif in_body:
+            count += line.count("[M:")
+    return count > 1
+
+
 def _has_forbidden_durations(score: Score) -> bool:
     """Reject 32nd/64th notes (folk_data_helpers.py:308-319). On our IR this
     is a direct duration check: < 1/8 quarterLength."""
@@ -143,6 +160,8 @@ class FolkCorpus:
         if not _tune_has_title(text):
             return False
         if _tune_is_multivoice(text) or _tune_contains_chords(text):
+            return False
+        if _tune_has_multiple_time_sigs(text):
             return False
         try:
             score = parse_abc(text, expand_repeats=False)

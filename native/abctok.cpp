@@ -206,10 +206,14 @@ struct Parser {
       auto it = meas_acc.find({step, octave});
       alter = it != meas_acc.end() ? it->second : key_alters[step];
     }
-    bars.back().events.push_back(Ev{false, Pitch{step, alter, octave}, length_mods(dur)});
+    // durations stored in quarterLengths at parse time: L: can change
+    // mid-tune, so conversion cannot be deferred to materialization
+    bars.back().events.push_back(
+        Ev{false, Pitch{step, alter, octave}, length_mods(dur) * unit * Rat(4)});
   }
   void add_rest(Rat dur) {
-    bars.back().events.push_back(Ev{true, Pitch{}, length_mods(dur)});
+    bars.back().events.push_back(
+        Ev{true, Pitch{}, length_mods(dur) * unit * Rat(4)});
   }
 };
 
@@ -297,10 +301,21 @@ Tune parse_abc(const std::string& text, bool expand) {
       size_t st = val.find_first_not_of(" \t");
       val = st == std::string::npos ? "" : val.substr(st);
       if (key == 'w') continue;
+      if (in_body) {
+        // mid-tune K:/M:/L: change state forward (inline markers); header
+        // values stay first-wins so the score-level time signature is the
+        // opening one. V: markers are ignored (multi-voice tunes are
+        // dropped by the validity filter).
+        if (key == 'M' || key == 'L' || key == 'K') {
+          if (!body_lines.empty())
+            body_lines.push_back("[" + std::string(1, key) + ":" + val + "]");
+          else
+            headers[key] = val;  // field between K: and the first music line
+        }
+        continue;
+      }
       headers[key] = val;
-      if (key == 'K' && !in_body) in_body = true;
-      else if (in_body && (key == 'M' || key == 'L' || key == 'K') && !body_lines.empty())
-        body_lines.push_back("[" + std::string(1, key) + ":" + val + "]");
+      if (key == 'K') in_body = true;
       continue;
     }
     if (in_body && line.size() >= 2 && isalpha((unsigned char)line[0]) && line[1] == ':')
@@ -323,6 +338,9 @@ Tune parse_abc(const std::string& text, bool expand) {
   }
   key_signature(headers['K'], P.key_alters);
   bool compound = (tune.ts_num == 6 || tune.ts_num == 9 || tune.ts_num == 12) && tune.ts_den == 8;
+  // score-level signature stays the opening one; inline [M:] changes only
+  // affect subsequent full-bar rests
+  int cur_ts_num = tune.ts_num, cur_ts_den = tune.ts_den;
 
   std::string b;
   for (auto& l : body_lines) { b += l; b += ' '; }
@@ -339,7 +357,7 @@ Tune parse_abc(const std::string& text, bool expand) {
           char k = b[i + 1];
           std::string v = b.substr(i + 3, close - i - 3);
           if (k == 'K') key_signature(v, P.key_alters);
-          else if (k == 'M') parse_ts(v, tune.ts_num, tune.ts_den);
+          else if (k == 'M') parse_ts(v, cur_ts_num, cur_ts_den);
           else if (k == 'L') {
             size_t slash = v.find('/');
             if (slash != std::string::npos)
@@ -433,9 +451,9 @@ Tune parse_abc(const std::string& text, bool expand) {
       long long count = 0;
       while (i < n && isdigit((unsigned char)b[i])) { count = count * 10 + (b[i] - '0'); ++i; }
       if (count == 0) count = 1;
-      Rat bar_units = Rat(tune.ts_num * 4, tune.ts_den) * Rat(P.unit.d, P.unit.n * 4);
+      Rat bar_ql = Rat(cur_ts_num * 4, cur_ts_den);
       for (long long k = 0; k < count; ++k) {
-        P.bars.back().events.push_back(Ev{true, Pitch{}, bar_units});
+        P.bars.back().events.push_back(Ev{true, Pitch{}, bar_ql});
         P.barline("|");
       }
       continue;
@@ -478,11 +496,10 @@ Tune parse_abc(const std::string& text, bool expand) {
   if (expand) bars = expand_repeats(bars);
 
   Rat offset(0);
-  Rat ql_per_unit = P.unit * Rat(4);
   for (auto& bar : bars) {
     Rat bar_start = offset;
     for (auto& ev : bar.events) {
-      Rat d = ev.dur * ql_per_unit;
+      Rat d = ev.dur;  // already quarterLengths
       if (d.n <= 0) { tune.error = "zero or negative note duration"; tune.ok = false; return tune; }
       tune.notes.push_back(NoteEv{offset, d, ev.is_rest, ev.p});
       offset = offset + d;

@@ -106,3 +106,17 @@ def test_native_speedup():
     t_nat = time.perf_counter() - t0
     # native re-parses the ABC text each call and still should win big
     assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_mid_tune_field_equivalence():
+    """Mid-tune K:/L: changes and full-bar rests after inline [M:] must
+    agree between the native and Python parsers (both store durations in
+    quarterLengths at event time; score-level signature is the opening one)."""
+    cases = [
+        "X:1\nT:k change\nM:4/4\nL:1/8\nK:C\nF2F2F2F2|\nK:G\nF2F2F2F2|\n",
+        "X:1\nT:l change\nM:4/4\nL:1/8\nK:C\nC2D2E2F2|\nL:1/4\nCDEF|\n",
+        "X:1\nT:hdr after key\nM:4/4\nK:C\nL:1/8\nC2D2E2F2|C2D2E2F2|\n",
+        "X:1\nT:z bars\nM:4/4\nL:1/8\nK:C\nC2D2E2F2|Z2|C2D2E2F2|\n",
+    ]
+    for text in cases:
+        _check(text)

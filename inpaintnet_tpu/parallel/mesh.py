@@ -80,6 +80,41 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def local_batch_size(mesh: Mesh, global_batch: int) -> int:
+    """Rows THIS process must supply for a ``global_batch``-row step."""
+    if global_batch % jax.process_count() != 0:
+        raise ValueError(
+            f"global batch {global_batch} must divide the "
+            f"{jax.process_count()} processes"
+        )
+    return global_batch // jax.process_count()
+
+
+def make_global_batch(mesh: Mesh, local_batch):
+    """Multi-host input feeding: assemble a globally-sharded batch from
+    process-local rows.
+
+    Each process passes only ITS rows (``local_batch_size`` of the global
+    batch); ``jax.make_array_from_process_local_data`` places them on the
+    process's addressable shard of the "data" axis — no host ever
+    materializes the global batch (SURVEY §2 comm-backend row; the
+    reference is single-process so this surface is new). Single-process
+    this is exactly ``shard_batch`` on a divisible batch.
+
+    :param local_batch: pytree of numpy arrays, leading dim = local rows
+    :return: pytree of global jax.Arrays sharded over the "data" axis
+    """
+    sh = batch_sharding(mesh)
+    nproc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree_util.tree_map(put, local_batch)
+
+
 def _is_gate_matrix(path_str: str, x) -> bool:
     return (
         x.ndim == 2

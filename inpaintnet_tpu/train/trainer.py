@@ -32,7 +32,12 @@ import jax
 import numpy as np
 import optax
 
-from inpaintnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from inpaintnet_tpu.parallel.mesh import (
+    make_global_batch,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from inpaintnet_tpu.train import metrics as M
 from inpaintnet_tpu.train.checkpoints import load_train_state, save_train_state
 from inpaintnet_tpu.utils.rng import RngStream
@@ -221,7 +226,12 @@ class Trainer(ABC):
             extra = replicate(self.mesh, extra)
         for batch in data_loader:
             batch_data = self.process_batch_data(batch)
-            batch_data = shard_batch(self.mesh, batch_data)
+            if jax.process_count() > 1:
+                # multi-host: this process's loader yields its local rows;
+                # assemble the global array without gathering on any host
+                batch_data = make_global_batch(self.mesh, batch_data)
+            else:
+                batch_data = shard_batch(self.mesh, batch_data)
             key = self.rng.next()
             if train:
                 params, opt_state, loss, metrics = self._train_step(

@@ -129,6 +129,69 @@ class LatentRNN(Model):
         z = z_dist.rsample(r_z)
         return z.reshape(batch, num_measures, self.z_dim)
 
+    def encode_context_dists(self, vae_params, past_context, future_context,
+                             *, train: bool = False, rng=None):
+        """One frozen-encoder pass over past+future, returning the
+        per-measure posterior (loc, scale) WITHOUT sampling.
+
+        Serving API beyond the reference: generation stochasticity in the
+        shipped non-autoreg config comes only from the per-measure
+        ``rsample`` (latent_rnn.py:161-174 — argmax decode is
+        deterministic), so callers can cache these distributions and draw
+        many variations without re-running the encoder — the dominant
+        serving cost (the reference's same-context diversity script
+        re-encodes per variation, script_gen_same_context.py:15-214).
+
+        :return: ((loc, scale) for past, (loc, scale) for future),
+                 each (B, M, z)
+        """
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        batch, mp, msl = past_context.shape
+        mf = future_context.shape[1]
+        flat = jnp.concatenate([past_context, future_context], axis=1).reshape(
+            batch * (mp + mf), msl
+        )
+        dist = self.vae_model.encoder.apply(
+            vae_params["encoder"], flat, train=train, rng=rng
+        )
+        loc = dist.loc.reshape(batch, mp + mf, self.z_dim)
+        scale = dist.scale.reshape(batch, mp + mf, self.z_dim)
+        return (loc[:, :mp], scale[:, :mp]), (loc[:, mp:], scale[:, mp:])
+
+    def generate_from_context_dists(
+        self, params, vae_params, past_dist, future_dist, *,
+        past_mask, future_mask, target_mask, rng,
+    ):
+        """Non-autoregressive generation from cached context posteriors
+        (see :meth:`encode_context_dists`); distributionally identical to
+        :meth:`apply` at ``train=False`` with ``auto_reg=False``.
+
+        :param past_dist/future_dist: (loc, scale) pairs, (B, M, z) each
+        :return: (weights, samples, gen_z) like :meth:`apply`
+        """
+        if self.auto_reg:
+            raise ValueError(
+                "generate_from_context_dists serves the non-autoregressive "
+                "config only (the autoregressive path re-encodes samples)"
+            )
+        vae_params = jax.tree_util.tree_map(lax.stop_gradient, vae_params)
+        keys = jax.random.split(rng, 3)
+        zp = past_dist[0] + past_dist[1] * jax.random.normal(
+            keys[0], past_dist[0].shape, past_dist[0].dtype
+        )
+        zf = future_dist[0] + future_dist[1] * jax.random.normal(
+            keys[1], future_dist[0].shape, future_dist[0].dtype
+        )
+        ctx_p = self.forward_context(params, zp, past_mask, "past",
+                                     train=False, rng=None)
+        ctx_f = self.forward_context(params, zf, future_mask, "future",
+                                     train=False, rng=None)
+        comb = self._combine_contexts(ctx_p, ctx_f)
+        return self._generate_parallel(
+            params, vae_params, comb, target_mask,
+            seed=None, train=False, rng=keys[2],
+        )
+
     def forward_context(self, params, z, mask, which: str, *, train, rng):
         """Final bi-GRU hidden over a masked latent sequence
         (latent_rnn.py:176-209). Returns (L*2, B, H)."""

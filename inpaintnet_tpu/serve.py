@@ -114,6 +114,78 @@ class InpaintingEngine:
         ]
         return out
 
+    def inpaint_variations(
+        self,
+        tokens: np.ndarray,
+        start_measure: int,
+        num_measures: int,
+        num_variations: int,
+        seed: Optional[int] = None,
+    ) -> np.ndarray:
+        """N stochastic re-inpaintings of the SAME context (the reference's
+        diversity workload, script_gen_same_context.py) with the frozen-VAE
+        encoder run ONCE: variation randomness comes only from the latent
+        rsample, so the cached posterior is re-drawn per variation — the
+        per-variation cost drops from (encode + generate) to generate only
+        (~4x at flagship shapes).
+
+        :return: (num_variations, B, M, msl) tokens
+        """
+        if self.model.auto_reg:
+            # autoregressive generation re-encodes its own samples; fall
+            # back to full passes
+            return np.stack([
+                self.inpaint(tokens, start_measure, num_measures,
+                             seed=(self.seed if seed is None else seed) + i)
+                for i in range(num_variations)
+            ])
+        tokens = np.asarray(tokens)
+        b, m, msl = tokens.shape
+        n_past = start_measure
+        n_future = m - start_measure - num_measures
+        bucket, _ = self._compiled_for(b)
+        nb = self.n_bars
+        past = np.zeros((bucket, nb, msl), np.int32)
+        future = np.zeros((bucket, nb, msl), np.int32)
+        past[:b, :n_past] = tokens[:, :n_past]
+        if n_future:
+            future[:b, :n_future] = tokens[:, m - n_future:]
+        pm = np.zeros((bucket, nb), np.float32)
+        fm = np.zeros((bucket, nb), np.float32)
+        tm = np.zeros((bucket, self.max_target), np.float32)
+        pm[:, :n_past] = 1
+        fm[:, :n_future] = 1
+        tm[:, :num_measures] = 1
+
+        model = self.model
+        if "enc_dists" not in self._compiled:
+            self._compiled["enc_dists"] = jax.jit(
+                lambda vp, p_ctx, f_ctx: model.encode_context_dists(vp, p_ctx, f_ctx)
+            )
+            self._compiled["gen_dists"] = jax.jit(
+                lambda p, vp, pd, fd, pm, fm, tm, key:
+                model.generate_from_context_dists(
+                    p, vp, pd, fd, past_mask=pm, future_mask=fm,
+                    target_mask=tm, rng=key,
+                )[1]
+            )
+        pd, fd = self._compiled["enc_dists"](self._vae_params, past, future)
+        base = jax.random.PRNGKey(self.seed if seed is None else seed)
+        keys = list(np.asarray(jax.random.split(base, num_variations)))
+        outs = []
+        for key in keys:
+            samples = np.asarray(
+                self._compiled["gen_dists"](
+                    self._params, self._vae_params, pd, fd, pm, fm, tm, key
+                )
+            )
+            out = tokens.copy()
+            out[:, start_measure : start_measure + num_measures] = samples[
+                :b, :num_measures
+            ]
+            outs.append(out)
+        return np.stack(outs)
+
     def inpaint_ticks(
         self, tensor_score: np.ndarray, time_index_range_ticks: Tuple[int, int],
         seed: Optional[int] = None,

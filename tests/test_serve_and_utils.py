@@ -90,3 +90,77 @@ def test_step_timer():
             pass
     assert t.throughput > 0
     assert "steps" in t.report()
+
+
+def test_inpaint_variations_share_context(engine):
+    """Encode-once variations: same context tokens preserved in every
+    variation, variations differ, and each matches the static layout."""
+    import numpy as np
+
+    tokens = np.random.RandomState(1).randint(0, V, (2, 16, 24)).astype(np.int32)
+    out = engine.inpaint_variations(tokens, start_measure=4, num_measures=2,
+                                    num_variations=3, seed=11)
+    assert out.shape == (3,) + tokens.shape
+    for v in range(3):
+        np.testing.assert_array_equal(out[v][:, :4], tokens[:, :4])
+        np.testing.assert_array_equal(out[v][:, 6:], tokens[:, 6:])
+    assert not np.array_equal(out[0], out[1]) or not np.array_equal(out[1], out[2])
+    # deterministic under a fixed seed
+    again = engine.inpaint_variations(tokens, start_measure=4, num_measures=2,
+                                      num_variations=3, seed=11)
+    np.testing.assert_array_equal(out, again)
+
+
+def test_generate_from_context_dists_matches_apply_distribution():
+    """The cached-posterior generation path produces valid outputs of the
+    same shape/support as the fused apply (distribution-level check)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inpaintnet_tpu.models.latent_rnn import LatentRNN
+    from inpaintnet_tpu.models.measure_vae import MeasureVAE
+
+    class _DS:
+        note2index_dicts = [{f"t{i}": i for i in range(30)}]
+
+        def __repr__(self):
+            return "ds"
+
+    vae = MeasureVAE(_DS(), note_embedding_dim=8, num_encoder_layers=2,
+                     encoder_hidden_size=16, latent_space_dim=12,
+                     num_decoder_layers=2, decoder_hidden_size=16)
+    vae.init(jax.random.PRNGKey(0))
+    m = LatentRNN(_DS(), vae, num_rnn_layers=2, rnn_hidden_size=16,
+                  dropout=0.5, auto_reg=False, max_target=4)
+    m.init(jax.random.PRNGKey(1))
+    B = 3
+    past = jax.random.randint(jax.random.PRNGKey(2), (B, 5, 24), 0, 30)
+    future = jax.random.randint(jax.random.PRNGKey(3), (B, 6, 24), 0, 30)
+    pm, fm = jnp.ones((B, 5)), jnp.ones((B, 6))
+    tm = jnp.ones((B, 4))
+    pd, fd = m.encode_context_dists(vae.params, past, future)
+    assert pd[0].shape == (B, 5, 12) and fd[1].shape == (B, 6, 12)
+    w, s, z = m.generate_from_context_dists(
+        m.params, vae.params, pd, fd, past_mask=pm, future_mask=fm,
+        target_mask=tm, rng=jax.random.PRNGKey(4),
+    )
+    assert w.shape == (B, 4, 24, 30) and s.shape == (B, 4, 24)
+    assert int(jnp.max(s)) < 30
+    # different rng -> different variation
+    _, s2, _ = m.generate_from_context_dists(
+        m.params, vae.params, pd, fd, past_mask=pm, future_mask=fm,
+        target_mask=tm, rng=jax.random.PRNGKey(5),
+    )
+    assert not bool(jnp.all(s == s2))
+    # autoregressive config refuses (it must re-encode its own samples)
+    m_ar = LatentRNN(_DS(), vae, num_rnn_layers=2, rnn_hidden_size=16,
+                     dropout=0.5, auto_reg=True, max_target=4)
+    m_ar.init(jax.random.PRNGKey(6))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        m_ar.generate_from_context_dists(
+            m_ar.params, vae.params, pd, fd, past_mask=pm, future_mask=fm,
+            target_mask=tm, rng=jax.random.PRNGKey(7),
+        )

@@ -27,6 +27,12 @@ from inpaintnet_tpu.data.tokenizer import TICK_VALUES
 
 MAX_NOTES = 140  # folk_data_helpers.py:31
 
+# Bump when validity-filter or parser semantics change: self-generated
+# valid-file lists carry this in a sidecar .meta file and are rebuilt on
+# mismatch. Lists WITHOUT a sidecar (the reference's shipped lists) are
+# trusted as-is — they are the ground truth the filter approximates.
+FILTER_VERSION = 2  # v2: multi-time-signature drop + opening-signature parse
+
 
 def split_raw_dump(dump_path: str, out_dir: str) -> int:
     """Split a sessions_data_clean.txt-style dump (blank-line separated)
@@ -124,9 +130,19 @@ class FolkCorpus:
         return self._valid_tune_filenames
 
     def _get_valid_tune_filenames(self) -> List[str]:
+        meta_path = self.valid_files_list + ".meta"
         if os.path.exists(self.valid_files_list):
-            with open(self.valid_files_list) as f:
-                return [line.rstrip("\n") for line in f]
+            stale = False
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    stale = f.read().strip() != f"filter_version={FILTER_VERSION}"
+            if not stale:
+                with open(self.valid_files_list) as f:
+                    return [line.rstrip("\n") for line in f]
+            print(
+                f"valid-file list {self.valid_files_list} was built by an "
+                "older validity filter; re-scanning the corpus"
+            )
         if not os.path.isdir(self.raw_dir):
             raise FileNotFoundError(
                 f"corpus directory {self.raw_dir!r} does not exist — point "
@@ -149,6 +165,8 @@ class FolkCorpus:
         with open(self.valid_files_list, "w") as f:
             for fn in valid:
                 f.write(fn + "\n")
+        with open(meta_path, "w") as f:
+            f.write(f"filter_version={FILTER_VERSION}\n")
         return valid
 
     def is_valid(self, path: str) -> bool:

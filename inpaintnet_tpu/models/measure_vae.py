@@ -120,10 +120,18 @@ class Encoder:
         batch = score_tensor.shape[0]
         if not train and self._use_pallas(params):
             from inpaintnet_tpu.ops.encoder_pallas import encoder_hn_pallas
+            from inpaintnet_tpu.ops.pallas_common import kernel_with_xla_grad
 
-            h_n = encoder_hn_pallas(
-                params["gru"], params["embedding"]["table"], score_tensor
+            # kernel forward; equivalent XLA scan under differentiation
+            # (pallas_call has no autodiff rule)
+            fn = kernel_with_xla_grad(
+                lambda gp, tab, tok: encoder_hn_pallas(gp, tab, tok),
+                lambda gp, tab, tok: gru_apply(
+                    gp, embedding_apply({"table": tab}, tok),
+                    last_outputs=False,
+                )[1],
             )
+            h_n = fn(params["gru"], params["embedding"]["table"], score_tensor)
             hidden = jnp.transpose(h_n, (1, 0, 2)).reshape(batch, -1)
             z_mean = mlp_selu_apply(params["mean_head"], hidden)
             z_log_std = mlp_selu_apply(params["log_std_head"], hidden)
@@ -314,9 +322,32 @@ class HierarchicalDecoder:
 
         if score_tensor is None and not train and self._use_pallas_decode(params):
             from inpaintnet_tpu.ops.decode_pallas import decode_sampling_pallas
+            from inpaintnet_tpu.ops.pallas_common import kernel_with_xla_grad
 
-            return decode_sampling_pallas(params, tick_ctx, h_inits)
+            # pallas_call has no autodiff rule; under jax.grad (LatentRNN
+            # training differentiates through this frozen-VAE decode) the
+            # wrapper linearizes the equivalent XLA scan instead
+            fn = kernel_with_xla_grad(
+                lambda p, c, h: decode_sampling_pallas(p, c, h),
+                lambda p, c, h: self._decode_scan(
+                    p, c, h, train=False, rng=jax.random.PRNGKey(0),
+                    score_tensor=None,
+                ),
+            )
+            return fn(params, tick_ctx, h_inits)
 
+        return self._decode_scan(
+            params, tick_ctx, h_inits, train=train, rng=r_scan,
+            score_tensor=score_tensor,
+        )
+
+    def _decode_scan(self, params, tick_ctx, h_inits, *, train, rng,
+                     score_tensor):
+        """The XLA formulation of the 24-tick decode, from the per-beat
+        context/init-hiddens (shared by the Pallas routing above as the
+        autodiff fallback)."""
+        batch = tick_ctx.shape[0]
+        r_scan = rng
         ts = jnp.arange(NUM_TICKS_PER_MEASURE)
         beat_idx = ts // TICKS_PER_BEAT
         reset = (ts % TICKS_PER_BEAT) == 0

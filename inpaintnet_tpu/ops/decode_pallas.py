@@ -36,12 +36,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from inpaintnet_tpu.ops.pallas_common import (
+    gru_gates_f32,
+    interpret_default,
+    round_up,
+)
+
 TICKS_PER_BEAT = 6
 NUM_TICKS = 24
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _decode_kernel(ctx_xw_ref, hi0_ref, hi1_ref, tok_tab_ref, x0_xw_ref,
@@ -66,19 +68,11 @@ def _decode_kernel(ctx_xw_ref, hi0_ref, hi1_ref, tok_tab_ref, x0_xw_ref,
     h0 = jnp.where(reset, hi0_ref[0], h0_s[:])
     h1 = jnp.where(reset, hi1_ref[0], h1_s[:])
 
-    def gates(xw, hw, h_prev):
-        r = jax.nn.sigmoid(xw[:, :hidden] + hw[:, :hidden])
-        z = jax.nn.sigmoid(
-            xw[:, hidden : 2 * hidden] + hw[:, hidden : 2 * hidden]
-        )
-        n = jnp.tanh(xw[:, 2 * hidden :] + r * hw[:, 2 * hidden :])
-        return (1.0 - z) * n + z * h_prev
-
     # layer 0: input projection = prev-token table row + beat-context part
     xw0 = prev_xw_s[:].astype(jnp.float32) + ctx_xw_ref[0].astype(jnp.float32)
     hw0 = jnp.dot(h0, whh0_ref[:], preferred_element_type=jnp.float32)
     hw0 = hw0 + bias_ref[0].astype(jnp.float32)
-    h0_new = gates(xw0, hw0, h0.astype(jnp.float32))
+    h0_new = gru_gates_f32(xw0, hw0, h0.astype(jnp.float32), hidden)
 
     # layer 1
     h0_store = h0_new.astype(out_dtype)
@@ -86,7 +80,7 @@ def _decode_kernel(ctx_xw_ref, hi0_ref, hi1_ref, tok_tab_ref, x0_xw_ref,
     xw1 = xw1 + bias_ref[1].astype(jnp.float32)
     hw1 = jnp.dot(h1, whh1_ref[:], preferred_element_type=jnp.float32)
     hw1 = hw1 + bias_ref[2].astype(jnp.float32)
-    h1_new = gates(xw1, hw1, h1.astype(jnp.float32))
+    h1_new = gru_gates_f32(xw1, hw1, h1.astype(jnp.float32), hidden)
     h1_store = h1_new.astype(out_dtype)
 
     # ReLU head (reference quirk: non-negative logits, decoder.py:369-372)
@@ -119,7 +113,7 @@ def _decode_kernel(ctx_xw_ref, hi0_ref, hi1_ref, tok_tab_ref, x0_xw_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
 def decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int = 256,
-                           interpret: bool = False):
+                           interpret: bool | None = None):
     """Fused argmax sampling decode of one measure per row.
 
     :param params: HierarchicalDecoder params (2 tick-GRU layers)
@@ -127,13 +121,15 @@ def decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int = 256,
     :param h_inits: (2, B, 4, H) per-beat tick-GRU init hiddens
     :return: (logits (B, 24, V) — ReLU'd like the reference, samples (B, 24))
     """
+    if interpret is None:
+        interpret = interpret_default()
     p0, p1 = params["tick_gru"][0][0], params["tick_gru"][1][0]
     batch, num_beats, hidden = tick_ctx.shape
     three_h = 3 * hidden
     dtype = p0["w_hh"].dtype
     emb_table = params["embedding"]["table"]
     vocab, E = emb_table.shape
-    vocab_pad = _round_up(vocab, 128)
+    vocab_pad = round_up(vocab, 128)
     head_w = jnp.pad(params["head"]["w"], ((0, 0), (0, vocab_pad - vocab)))
     head_b = jnp.pad(params["head"]["b"], (0, vocab_pad - vocab))[None, :]
 
@@ -146,8 +142,8 @@ def decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int = 256,
     hi1 = jnp.swapaxes(h_inits[1], 0, 1)
     bias = jnp.stack([p0["b_hh"], p1["b_ih"], p1["b_hh"]])  # (3, 3H)
 
-    tile_b = min(tile_b, _round_up(batch, 8))
-    padded_b = _round_up(batch, tile_b)
+    tile_b = min(tile_b, round_up(batch, 8))
+    padded_b = round_up(batch, tile_b)
     if padded_b != batch:
         pad = padded_b - batch
         ctx_xw = jnp.pad(ctx_xw, ((0, 0), (0, pad), (0, 0)))

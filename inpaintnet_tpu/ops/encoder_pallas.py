@@ -44,16 +44,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _gates_f32(xw, hw, hidden, h_prev):
-    r = jax.nn.sigmoid(xw[:, :hidden] + hw[:, :hidden])
-    z = jax.nn.sigmoid(xw[:, hidden : 2 * hidden] + hw[:, hidden : 2 * hidden])
-    n = jnp.tanh(xw[:, 2 * hidden :] + r * hw[:, 2 * hidden :])
-    return (1.0 - z) * n + z * h_prev
+from inpaintnet_tpu.ops.pallas_common import (
+    gru_gates_f32,
+    interpret_default,
+    round_up,
+)
 
 
 def _l0_kernel(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
@@ -83,7 +78,7 @@ def _l0_kernel(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
             jnp.dot(h_scratch[:], whh_ref[:], preferred_element_type=jnp.float32)
             + bhh_ref[d].astype(jnp.float32)
         )
-        h_new = _gates_f32(xw, hw, hidden, h)
+        h_new = gru_gates_f32(xw, hw, h, hidden)
         h_store = h_new.astype(out_dtype)
         h_scratch[:] = h_store
         ys_ref[0] = h_store
@@ -119,7 +114,7 @@ def _l1_kernel(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
             jnp.dot(h_scratch[:], whh_ref[:], preferred_element_type=jnp.float32)
             + bhh_ref[d].astype(jnp.float32)
         )
-        h_new = _gates_f32(xw, hw, hidden, h)
+        h_new = gru_gates_f32(xw, hw, h, hidden)
         h_store = h_new.astype(out_dtype)
         h_scratch[:] = h_store
 
@@ -133,7 +128,7 @@ def _l1_kernel(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
 def encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int = 256,
-                      interpret: bool = False):
+                      interpret: bool | None = None):
     """Final hidden states of the 2-layer bidirectional encoder GRU.
 
     :param gru_params: ``gru_init(E, H, 2, bidirectional=True)`` pytree
@@ -141,13 +136,15 @@ def encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int = 256,
     :param tokens: (B, T) int32
     :return: h_n (4, B, H) in torch layout [l0f, l0b, l1f, l1b]
     """
+    if interpret is None:
+        interpret = interpret_default()
     batch, seq_len = tokens.shape
     p0f, p0b = gru_params[0][0], gru_params[0][1]
     p1f, p1b = gru_params[1][0], gru_params[1][1]
     hidden = p0f["w_hh"].shape[0]
     dtype = p0f["w_hh"].dtype
     vocab = emb_table.shape[0]
-    vocab_pad = _round_up(vocab, 8)
+    vocab_pad = round_up(vocab, 8)
 
     # embedding ∘ input-projection fused tables, padded on the vocab axis
     def fused(p):
@@ -156,8 +153,8 @@ def encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int = 256,
 
     tab_f, tab_b = fused(p0f), fused(p0b)
 
-    tile_b = min(tile_b, _round_up(batch, 8))
-    padded_b = _round_up(batch, tile_b)
+    tile_b = min(tile_b, round_up(batch, 8))
+    padded_b = round_up(batch, tile_b)
     if padded_b != batch:
         tokens = jnp.pad(tokens, ((0, padded_b - batch), (0, 0)))
     # (T, 1, B): leading time axis untiled (one block per grid step), the

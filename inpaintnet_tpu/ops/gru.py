@@ -133,9 +133,13 @@ def _gru_layer_impl(params, x, h0, mask, reverse, impl, want_ys=True,
     if impl == "pallas":
         from inpaintnet_tpu.ops.gru_pallas import gru_layer_pallas_stream
 
+        # xw_inloop has no effect here: the generic stream kernel takes the
+        # precomputed projection (the specialized encoder kernel is the
+        # slab-free path)
         xw = x @ params["w_ih"] + params["b_ih"]
         return gru_layer_pallas_stream(
-            xw, params["w_hh"], params["b_hh"], h0, mask, reverse=reverse
+            xw, params["w_hh"], params["b_hh"], h0, mask, reverse=reverse,
+            want_ys=want_ys,
         )
     if xw_inloop:
         in_t = jnp.swapaxes(x, 0, 1)  # (T, B, in)

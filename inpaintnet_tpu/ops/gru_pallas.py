@@ -35,14 +35,24 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from inpaintnet_tpu.ops.pallas_common import (
+    gru_gates_f32,
+    interpret_default,
+    round_up,
+)
+
 
 def _gru_stream_kernel(xw_ref, w_hh_ref, b_hh_ref, h0_ref, mask_ref,
-                       ys_ref, hn_ref, h_scratch,
-                       *, seq_len: int, hidden: int, out_dtype):
+                       *refs, seq_len: int, hidden: int, out_dtype,
+                       write_ys: bool):
     """Grid-over-time step: one (tile_b, 3H) xw block per program, hidden
     carry in VMEM scratch across the t axis of the grid. Pallas' own block
     pipeline double-buffers the HBM streams — no manual DMA/semaphores
     (the manual-DMA variant below deadlocked at large grids)."""
+    if write_ys:
+        ys_ref, hn_ref, h_scratch = refs
+    else:
+        hn_ref, h_scratch = refs
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -55,25 +65,25 @@ def _gru_stream_kernel(xw_ref, w_hh_ref, b_hh_ref, h0_ref, mask_ref,
         jnp.dot(h, w_hh_ref[:], preferred_element_type=jnp.float32)
         + b_hh_ref[0].astype(jnp.float32)
     )
-    hf = h.astype(jnp.float32)
-    r = jax.nn.sigmoid(xwt[:, :hidden] + hw[:, :hidden])
-    z = jax.nn.sigmoid(xwt[:, hidden : 2 * hidden] + hw[:, hidden : 2 * hidden])
-    n = jnp.tanh(xwt[:, 2 * hidden :] + r * hw[:, 2 * hidden :])
-    h_new = (1.0 - z) * n + z * hf
+    h_new = gru_gates_f32(xwt, hw, h.astype(jnp.float32), hidden)
     m = mask_ref[0, 0]  # (tile_b,)
     h_new = jnp.where(m[:, None] > 0, h_new.astype(out_dtype), h)
     h_scratch[:] = h_new
-    ys_ref[0] = h_new
+    if write_ys:
+        ys_ref[0] = h_new
 
     @pl.when(t == seq_len - 1)
     def _():
         hn_ref[:] = h_new
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "tile_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "tile_b", "interpret", "want_ys")
+)
 def gru_layer_pallas_stream(xw, w_hh, b_hh, h0, mask=None, *,
                             reverse: bool = False, tile_b: int = 256,
-                            interpret: bool = False):
+                            interpret: bool | None = None,
+                            want_ys: bool = True):
     """One GRU direction over a precomputed input projection, streamed.
 
     grid = (batch_tiles, T) with t fastest; per step the kernel holds one
@@ -85,8 +95,12 @@ def gru_layer_pallas_stream(xw, w_hh, b_hh, h0, mask=None, *,
     :param xw: (B, T, 3H) = x @ W_ih + b_ih
     :param w_hh: (H, 3H); b_hh: (3H,); h0: (B, H)
     :param mask: optional (B, T); masked steps freeze h
-    :return: (outputs (B, T, H), h_last (B, H))
+    :param want_ys: False skips the (B, T, H) output stream entirely
+        (final-hidden-only consumers) — ``outputs`` is then None
+    :return: (outputs (B, T, H) or None, h_last (B, H))
     """
+    if interpret is None:
+        interpret = interpret_default()
     batch, seq_len, three_h = xw.shape
     hidden = three_h // 3
     dtype = xw.dtype
@@ -94,8 +108,8 @@ def gru_layer_pallas_stream(xw, w_hh, b_hh, h0, mask=None, *,
         mask = jnp.ones((batch, seq_len), dtype)
     else:
         mask = mask.astype(dtype)
-    tile_b = min(tile_b, _round_up(batch, 8))
-    padded_b = _round_up(batch, tile_b)
+    tile_b = min(tile_b, round_up(batch, 8))
+    padded_b = round_up(batch, tile_b)
     if padded_b != batch:
         pad = padded_b - batch
         xw = jnp.pad(xw, ((0, pad), (0, 0), (0, 0)))
@@ -113,10 +127,27 @@ def gru_layer_pallas_stream(xw, w_hh, b_hh, h0, mask=None, *,
     def tmap_mask(i, t):
         return ((seq_len - 1 - t) if reverse else t, 0, i)
 
+    hn_spec = pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                           memory_space=pltpu.VMEM)
+    hn_shape = jax.ShapeDtypeStruct((padded_b, hidden), dtype)
+    if want_ys:
+        out_specs = [
+            pl.BlockSpec((1, tile_b, hidden), tmap, memory_space=pltpu.VMEM),
+            hn_spec,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((seq_len, padded_b, hidden), dtype),
+            hn_shape,
+        ]
+    else:
+        out_specs = [hn_spec]
+        out_shape = [hn_shape]
+
     kernel = functools.partial(
         _gru_stream_kernel, seq_len=seq_len, hidden=hidden, out_dtype=dtype,
+        write_ys=want_ys,
     )
-    ys_t, h_n = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -129,23 +160,15 @@ def gru_layer_pallas_stream(xw, w_hh, b_hh, h0, mask=None, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_b), tmap_mask, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tile_b, hidden), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((seq_len, padded_b, hidden), dtype),
-            jax.ShapeDtypeStruct((padded_b, hidden), dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((tile_b, hidden), dtype)],
         interpret=interpret,
     )(xw_t, w_hh, b_hh2d, h0, mask_t)
+    if not want_ys:
+        return None, outs[0][:batch]
+    ys_t, h_n = outs
     return jnp.swapaxes(ys_t, 0, 1)[:batch], h_n[:batch]
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 # Grids beyond this deadlocked the manual-DMA kernel through the hosted TPU

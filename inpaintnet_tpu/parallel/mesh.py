@@ -106,10 +106,20 @@ def make_global_batch(mesh: Mesh, local_batch):
     """
     sh = batch_sharding(mesh)
     nproc = jax.process_count()
+    data_axis = mesh.shape["data"]
 
     def put(x):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        global_rows = x.shape[0] * nproc
+        if global_rows % data_axis:
+            raise ValueError(
+                f"global batch {global_rows} ({x.shape[0]} local rows x "
+                f"{nproc} processes) does not divide the {data_axis}-way "
+                "data axis; multi-host batches cannot fall back to "
+                "replication (no process holds the global rows) — drop or "
+                "pad the tail instead"
+            )
+        global_shape = (global_rows,) + x.shape[1:]
         return jax.make_array_from_process_local_data(sh, x, global_shape)
 
     return jax.tree_util.tree_map(put, local_batch)

@@ -67,6 +67,31 @@ class InpaintingEngine:
             self._compiled[bucket] = jax.jit(self._fn())
         return bucket, self._compiled[bucket]
 
+    def _pack_request(self, tokens: np.ndarray, start_measure: int,
+                      num_measures: int, bucket: int):
+        """Validate + pad a request into the static (bucket, n_bars, msl)
+        layout; single source of truth for inpaint/inpaint_variations."""
+        tokens = np.asarray(tokens)
+        b, m, msl = tokens.shape
+        assert msl == self.msl, (msl, self.msl)
+        assert 1 <= num_measures <= self.max_target
+        assert 0 < start_measure and start_measure + num_measures < m + 1
+        n_past = start_measure
+        n_future = m - start_measure - num_measures
+        nb = self.n_bars
+        past = np.zeros((bucket, nb, msl), np.int32)
+        future = np.zeros((bucket, nb, msl), np.int32)
+        past[:b, :n_past] = tokens[:, :n_past]
+        if n_future:
+            future[:b, :n_future] = tokens[:, m - n_future:]
+        pm = np.zeros((bucket, nb), np.float32)
+        fm = np.zeros((bucket, nb), np.float32)
+        tm = np.zeros((bucket, self.max_target), np.float32)
+        pm[:, :n_past] = 1
+        fm[:, :n_future] = 1  # all-zero mask => zero context (no future)
+        tm[:, :num_measures] = 1
+        return tokens, past, pm, future, fm, tm
+
     # ------------------------------------------------------------------ #
     def inpaint(
         self,
@@ -82,28 +107,11 @@ class InpaintingEngine:
         :param num_measures: 1..max_target measures to regenerate
         :return: (B, M, msl) tokens with the span replaced
         """
-        tokens = np.asarray(tokens)
-        b, m, msl = tokens.shape
-        assert msl == self.msl
-        assert 1 <= num_measures <= self.max_target
-        assert 0 < start_measure and start_measure + num_measures < m + 1
-        n_past = start_measure
-        n_future = m - start_measure - num_measures
-
+        b = np.asarray(tokens).shape[0]
         bucket, fn = self._compiled_for(b)
-        nb = self.n_bars
-        past = np.zeros((bucket, nb, msl), np.int32)
-        future = np.zeros((bucket, nb, msl), np.int32)
-        past[:b, :n_past] = tokens[:, :n_past]
-        if n_future:
-            future[:b, :n_future] = tokens[:, m - n_future:]
-        pm = np.zeros((bucket, nb), np.float32)
-        fm = np.zeros((bucket, nb), np.float32)
-        tm = np.zeros((bucket, self.max_target), np.float32)
-        pm[:, :n_past] = 1
-        fm[:, :n_future] = 1  # all-zero mask => zero context (no future)
-        tm[:, :num_measures] = 1
-
+        tokens, past, pm, future, fm, tm = self._pack_request(
+            tokens, start_measure, num_measures, bucket
+        )
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
         samples = np.asarray(
             fn(self._params, self._vae_params, past, pm, future, fm, tm, key)
@@ -139,23 +147,11 @@ class InpaintingEngine:
                              seed=(self.seed if seed is None else seed) + i)
                 for i in range(num_variations)
             ])
-        tokens = np.asarray(tokens)
-        b, m, msl = tokens.shape
-        n_past = start_measure
-        n_future = m - start_measure - num_measures
+        b = np.asarray(tokens).shape[0]
         bucket, _ = self._compiled_for(b)
-        nb = self.n_bars
-        past = np.zeros((bucket, nb, msl), np.int32)
-        future = np.zeros((bucket, nb, msl), np.int32)
-        past[:b, :n_past] = tokens[:, :n_past]
-        if n_future:
-            future[:b, :n_future] = tokens[:, m - n_future:]
-        pm = np.zeros((bucket, nb), np.float32)
-        fm = np.zeros((bucket, nb), np.float32)
-        tm = np.zeros((bucket, self.max_target), np.float32)
-        pm[:, :n_past] = 1
-        fm[:, :n_future] = 1
-        tm[:, :num_measures] = 1
+        tokens, past, pm, future, fm, tm = self._pack_request(
+            tokens, start_measure, num_measures, bucket
+        )
 
         model = self.model
         if "enc_dists" not in self._compiled:

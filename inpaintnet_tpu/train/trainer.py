@@ -156,13 +156,23 @@ class Trainer(ABC):
         import math
 
         data_axis = self.mesh.shape["data"]
-        if batch % data_axis == 0:
+        # loaders yield PROCESS-LOCAL rows; the sharded dimension is global
+        global_batch = batch * jax.process_count()
+        if global_batch % data_axis == 0:
             return
-        new_data = math.gcd(batch, data_axis)
         model_axis = self.mesh.shape.get("model", 1)
+        if jax.process_count() > 1:
+            # a shrunk mesh would be built from jax.devices()[:n], which
+            # spans only the first processes' devices — never valid
+            raise ValueError(
+                f"global batch {global_batch} ({batch} rows x "
+                f"{jax.process_count()} processes) must divide the "
+                f"{data_axis}-way data axis in a multi-host run"
+            )
+        new_data = math.gcd(global_batch, data_axis)
         msg = (
-            f"batch size {batch} does not divide the {data_axis}-way data "
-            f"axis; shrinking the mesh to {new_data}x{model_axis} — "
+            f"batch size {global_batch} does not divide the {data_axis}-way "
+            f"data axis; shrinking the mesh to {new_data}x{model_axis} — "
             f"{(data_axis - new_data) * model_axis} device(s) will idle. "
             f"Pick a batch size divisible by {data_axis} to use the full "
             "mesh."
@@ -228,7 +238,20 @@ class Trainer(ABC):
             batch_data = self.process_batch_data(batch)
             if jax.process_count() > 1:
                 # multi-host: this process's loader yields its local rows;
-                # assemble the global array without gathering on any host
+                # assemble the global array without gathering on any host.
+                # Indivisible tail batches cannot be replicated across
+                # hosts (no host holds the global rows) — skip them (every
+                # process sees the same loader length, so all skip
+                # together; single-host keeps its replicate fallback).
+                rows = jax.tree_util.tree_leaves(batch_data)[0].shape[0]
+                if (rows * jax.process_count()) % self.mesh.shape["data"]:
+                    warnings.warn(
+                        f"skipping {rows}-row tail batch: global size does "
+                        f"not divide the {self.mesh.shape['data']}-way data "
+                        "axis in a multi-host run",
+                        stacklevel=2,
+                    )
+                    continue
                 batch_data = make_global_batch(self.mesh, batch_data)
             else:
                 batch_data = shard_batch(self.mesh, batch_data)

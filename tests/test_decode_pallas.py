@@ -43,3 +43,28 @@ def test_decode_gate_cpu():
     """CPU backend keeps the XLA scan path."""
     dec, params, *_ = _setup()
     assert not dec._use_pallas_decode(params)
+
+
+def test_decode_kernel_grad_falls_back_to_scan(monkeypatch):
+    """jax.grad through the kernel-routed decode must work (pallas_call has
+    no AD rule; the custom_vjp wrapper differentiates the XLA scan) and
+    match the pure-scan gradient."""
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    dec, params, z, *_ = _setup()
+    monkeypatch.setattr(type(dec), "_use_pallas_decode", lambda self, p: True)
+
+    def loss(params, use_kernel):
+        if not use_kernel:
+            monkeypatch.setattr(type(dec), "_use_pallas_decode",
+                                lambda self, p: False)
+        w, _ = dec.decode_sampling(params, z, train=False,
+                                   rng=jax.random.PRNGKey(2))
+        return jnp.sum(w ** 2)
+
+    g_kernel = jax.grad(lambda p: loss(p, True))(params)
+    monkeypatch.setattr(type(dec), "_use_pallas_decode", lambda self, p: False)
+    g_scan = jax.grad(lambda p: loss(p, False))(params)
+    flat_k = jax.tree_util.tree_leaves(g_kernel)
+    flat_s = jax.tree_util.tree_leaves(g_scan)
+    for a, b in zip(flat_k, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -51,3 +51,74 @@ def test_encoder_model_gate_cpu():
     tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 24), 0, 30)
     dist = enc.apply(params, tokens, train=False)
     assert dist.loc.shape == (4, 12)
+
+
+def test_encoder_kernel_grad_falls_back_to_scan(monkeypatch):
+    """jax.grad through the kernel-routed encoder matches the scan grad."""
+    from inpaintnet_tpu.models.measure_vae import Encoder
+
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    enc = Encoder(
+        note_embedding_dim=8, rnn_hidden_size=16, num_layers=2,
+        num_notes=30, dropout=0.0, bidirectional=True, z_dim=12,
+    )
+    params = enc.init_params(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 24), 0, 30)
+
+    def loss(params):
+        dist = enc.apply(params, tokens, train=False)
+        return jnp.sum(dist.loc ** 2) + jnp.sum(dist.scale)
+
+    monkeypatch.setattr(type(enc), "_use_pallas", lambda self, p: True)
+    g_kernel = jax.grad(loss)(params)
+    monkeypatch.setattr(type(enc), "_use_pallas", lambda self, p: False)
+    g_scan = jax.grad(loss)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_kernel),
+                    jax.tree_util.tree_leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_latent_rnn_training_grad_with_kernel_gates_on(monkeypatch):
+    """End-to-end: the LatentRNN training loss (which differentiates
+    through the frozen-VAE decode at train=True) must produce finite grads
+    with the kernel gates forced on — the exact TPU-bf16-training case."""
+    import numpy as np
+
+    from inpaintnet_tpu.models.latent_rnn import LatentRNN
+    from inpaintnet_tpu.models.measure_vae import HierarchicalDecoder, MeasureVAE
+
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(HierarchicalDecoder, "_use_pallas_decode",
+                        lambda self, p: True)
+
+    class _DS:
+        note2index_dicts = [{f"t{i}": i for i in range(30)}]
+
+        def __repr__(self):
+            return "ds"
+
+    vae = MeasureVAE(_DS(), note_embedding_dim=8, num_encoder_layers=2,
+                     encoder_hidden_size=16, latent_space_dim=12,
+                     num_decoder_layers=2, decoder_hidden_size=16)
+    vae.init(jax.random.PRNGKey(0))
+    m = LatentRNN(_DS(), vae, num_rnn_layers=2, rnn_hidden_size=16,
+                  dropout=0.0, auto_reg=False, max_target=4)
+    m.init(jax.random.PRNGKey(1))
+    B = 2
+    past = jax.random.randint(jax.random.PRNGKey(2), (B, 5, 24), 0, 30)
+    future = jax.random.randint(jax.random.PRNGKey(3), (B, 6, 24), 0, 30)
+    target = jax.random.randint(jax.random.PRNGKey(4), (B, 4, 24), 0, 30)
+
+    def loss(params):
+        w, _, _ = m.apply(
+            params, vae.params, past, future, target,
+            past_mask=jnp.ones((B, 5)), future_mask=jnp.ones((B, 6)),
+            target_mask=jnp.ones((B, 4)), train=True,
+            rng=jax.random.PRNGKey(5),
+        )
+        logp = jax.nn.log_softmax(w, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, target[..., None], axis=-1))
+
+    g = jax.grad(loss)(m.params)
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0

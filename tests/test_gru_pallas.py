@@ -93,3 +93,19 @@ def test_pallas_mask_and_batch_padding():
     np.testing.assert_allclose(
         np.asarray(out_pl)[:, :6], np.asarray(out_ref)[:, :6], atol=2e-5
     )
+
+
+def test_pallas_stream_hn_only():
+    """want_ys=False returns (None, h_n) with h_n unchanged."""
+    B, T, IN, H = 8, 12, 16, 128
+    params = gru_init(jax.random.PRNGKey(5), IN, H, 1, False)[0][0]
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, T, IN))
+    h0 = jnp.zeros((B, H))
+    xw = x @ params["w_ih"] + params["b_ih"]
+    _, hn_full = gru_layer_pallas_stream(
+        xw, params["w_hh"], params["b_hh"], h0, tile_b=8, interpret=True)
+    ys, hn = gru_layer_pallas_stream(
+        xw, params["w_hh"], params["b_hh"], h0, tile_b=8, interpret=True,
+        want_ys=False)
+    assert ys is None
+    np.testing.assert_allclose(np.asarray(hn), np.asarray(hn_full), atol=1e-6)

@@ -241,11 +241,58 @@ class ConstraintModelGaussianReg(Model):
 
         if force_mask is None:
             force_mask = jnp.zeros((batch, T), dtype=jnp.int32)
+
+        if temperature is None and not train and self._use_pallas_decode(params):
+            from inpaintnet_tpu.ops.arnn_pallas import arnn_sampled_decode_pallas
+            from inpaintnet_tpu.ops.pallas_common import kernel_with_xla_grad
+
+            start_emb = self._start_embedding(params, 1)
+            fn = kernel_with_xla_grad(
+                lambda p, ctx, sc, fm, se: arnn_sampled_decode_pallas(
+                    p, ctx, sc, fm, se
+                ),
+                lambda p, ctx, sc, fm, se: self._sampled_scan(
+                    p, ctx, sc, fm,
+                    start_emb=jnp.broadcast_to(se, (sc.shape[0], se.shape[-1])),
+                    temperature=None, train=False, rng=jax.random.PRNGKey(0),
+                ),
+            )
+            return fn(params, constraint_out, score, force_mask, start_emb)
+
+        return self._sampled_scan(
+            params, constraint_out, score, force_mask,
+            start_emb=self._start_embedding(params, batch),
+            temperature=temperature, train=train, rng=r_scan,
+        )
+
+    def _use_pallas_decode(self, params) -> bool:
+        """Fused decode kernel eligibility (ops/arnn_pallas.py): TPU, 2
+        generation layers, weights fit VMEM."""
+        import os
+
+        if os.environ.get("INPAINTNET_ARNN_IMPL", "pallas") != "pallas":
+            return False
+        if self.num_layers != 2:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        H = self.num_lstm_generation_units
+        C = self.num_lstm_constraints_units
+        w = params["lstm_generation"][0]["w_hh"]
+        weight_bytes = (3 * H + C) * 4 * H * w.dtype.itemsize
+        return weight_bytes < 10e6
+
+    def _sampled_scan(self, params, constraint_out, score, force_mask, *,
+                      start_emb, temperature, train, rng):
+        """The XLA scan formulation of the autoregressive decode (also the
+        autodiff fallback for the Pallas routing above)."""
+        batch, T = score.shape
+        r_scan = rng
         L = self.num_layers
         H = self.num_lstm_generation_units
         cdt = constraint_out.dtype
         h0 = (jnp.zeros((L, batch, H), cdt), jnp.zeros((L, batch, H), cdt))
-        prev0 = self._start_embedding(params, batch)
+        prev0 = start_emb
         step_keys = jax.random.split(r_scan, T)
 
         gen_params = params["lstm_generation"]

@@ -33,6 +33,24 @@ def gru_gates_f32(xw, hw, h_prev, hidden: int):
     return (1.0 - z) * n + z * h_prev
 
 
+def lstm_gates_f32(xw, hw, h_prev, c_prev, hidden: int):
+    """Torch-order [i, f, g, o] LSTM gate math in f32
+    (ops/lstm.py:_lstm_gates with precomputed matmul products).
+
+    :return: (h_new, c_new)
+    """
+    import jax.numpy as jnp
+
+    gates = xw + hw
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+    c_new = f * c_prev + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
 def kernel_with_xla_grad(kernel_fn, xla_fn):
     """Make a forward-only Pallas kernel differentiable by delegating
     reverse-mode AD to an equivalent XLA implementation.

@@ -161,7 +161,10 @@ def _gru_layer_impl(params, x, h0, mask, reverse, impl, want_ys=True,
         return h_new, (h_new if want_ys else None)
 
     xs = in_t if mask_t is None else (in_t, mask_t)
-    h_last, outs = lax.scan(step, h0, xs, reverse=reverse)
+    # fully unroll very short recurrences (the 4-step beat GRU): XLA fuses
+    # the unrolled steps where a while-loop would serialize dispatches
+    unroll = in_t.shape[0] if in_t.shape[0] <= 4 else 1
+    h_last, outs = lax.scan(step, h0, xs, reverse=reverse, unroll=unroll)
     if not want_ys:
         return None, h_last
     return jnp.swapaxes(outs, 0, 1), h_last

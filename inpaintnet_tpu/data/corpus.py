@@ -29,9 +29,25 @@ MAX_NOTES = 140  # folk_data_helpers.py:31
 
 # Bump when validity-filter or parser semantics change: self-generated
 # valid-file lists carry this in a sidecar .meta file and are rebuilt on
-# mismatch. Lists WITHOUT a sidecar (the reference's shipped lists) are
-# trusted as-is — they are the ground truth the filter approximates.
+# mismatch. Lists WITHOUT a sidecar are trusted only if they are one of
+# the reference's SHIPPED lists (verified by content hash — they are the
+# ground truth the filter approximates); anything else sidecar-less is a
+# stale pre-versioning cache and is rebuilt.
 FILTER_VERSION = 2  # v2: multi-time-signature drop + opening-signature parse
+
+# sha256 of the reference repo's shipped valid-file lists
+_REFERENCE_LIST_HASHES = {
+    "2bf86760bb1b0e2ef223777cce2c270d95475c06458b3ce0b6b18fa532295c61",
+    "721059be5a4377e2f321eb2c2f2047e5673a0c97acb63b97991c24139ca9b3ad",
+    "d2f928a8879b37b6d2205cb15538980a762549c02561479187e5786260d7e793",
+}
+
+
+def _is_reference_shipped_list(path: str) -> bool:
+    import hashlib
+
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest() in _REFERENCE_LIST_HASHES
 
 
 def split_raw_dump(dump_path: str, out_dir: str) -> int:
@@ -132,10 +148,13 @@ class FolkCorpus:
     def _get_valid_tune_filenames(self) -> List[str]:
         meta_path = self.valid_files_list + ".meta"
         if os.path.exists(self.valid_files_list):
-            stale = False
             if os.path.exists(meta_path):
                 with open(meta_path) as f:
                     stale = f.read().strip() != f"filter_version={FILTER_VERSION}"
+            else:
+                # no sidecar: either a reference-shipped ground-truth list
+                # (trust) or a pre-versioning self-generated cache (rebuild)
+                stale = not _is_reference_shipped_list(self.valid_files_list)
             if not stale:
                 with open(self.valid_files_list) as f:
                     return [line.rstrip("\n") for line in f]

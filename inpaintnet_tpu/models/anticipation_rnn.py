@@ -279,7 +279,19 @@ class ConstraintModelGaussianReg(Model):
         H = self.num_lstm_generation_units
         C = self.num_lstm_constraints_units
         w = params["lstm_generation"][0]["w_hh"]
-        weight_bytes = (3 * H + C) * 4 * H * w.dtype.itemsize
+
+        def pad(x, m):
+            return (x + m - 1) // m * m
+
+        tok_pad = pad(params["note_embedding"]["table"].shape[0], 8)
+        lin_pad = pad(self.num_units_linear, 128)
+        vocab_pad = pad(self.num_notes, 128)
+        # everything the kernel pins in VMEM: recurrent + ctx projections,
+        # the fused token table, and both head matrices
+        weight_bytes = (
+            (3 * H + C) * 4 * H + tok_pad * 4 * H + H * lin_pad
+            + lin_pad * vocab_pad
+        ) * w.dtype.itemsize
         return weight_bytes < 10e6
 
     def _sampled_scan(self, params, constraint_out, score, force_mask, *,

@@ -174,14 +174,12 @@ class LatentRNN(Model):
                 "generate_from_context_dists serves the non-autoregressive "
                 "config only (the autoregressive path re-encodes samples)"
             )
+        from inpaintnet_tpu.ops import DiagNormal
+
         vae_params = jax.tree_util.tree_map(lax.stop_gradient, vae_params)
         keys = jax.random.split(rng, 3)
-        zp = past_dist[0] + past_dist[1] * jax.random.normal(
-            keys[0], past_dist[0].shape, past_dist[0].dtype
-        )
-        zf = future_dist[0] + future_dist[1] * jax.random.normal(
-            keys[1], future_dist[0].shape, future_dist[0].dtype
-        )
+        zp = DiagNormal(*past_dist).rsample(keys[0])
+        zf = DiagNormal(*future_dist).rsample(keys[1])
         ctx_p = self.forward_context(params, zp, past_mask, "past",
                                      train=False, rng=None)
         ctx_f = self.forward_context(params, zf, future_mask, "future",

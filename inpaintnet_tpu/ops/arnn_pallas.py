@@ -129,10 +129,22 @@ def _arnn_kernel(ctx_ref, gt_ref, fm_ref, tok_tab_ref, start_xw_ref,
     tokens_ref[0, 0] = token
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
 def arnn_sampled_decode_pallas(params, constraint_out, score, force_mask,
                                start_emb, *, tile_b: int = 256,
                                interpret: bool | None = None):
+    """Public entry: resolves the interpret-mode env hook OUTSIDE jit so
+    the resolved bool is part of the compilation cache key."""
+    if interpret is None:
+        interpret = interpret_default()
+    return _arnn_sampled_decode_pallas(params, constraint_out, score,
+                                       force_mask, start_emb,
+                                       tile_b=tile_b, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def _arnn_sampled_decode_pallas(params, constraint_out, score, force_mask,
+                                start_emb, *, tile_b: int,
+                                interpret: bool):
     """Fused argmax force-mask decode over the full sequence.
 
     :param params: ConstraintModelGaussianReg params (2 generation layers)
@@ -142,8 +154,6 @@ def arnn_sampled_decode_pallas(params, constraint_out, score, force_mask,
     :param start_emb: (1, E) tick--1 input embedding
     :return: (logits (B, T, V), tokens (B, T))
     """
-    if interpret is None:
-        interpret = interpret_default()
     p0, p1 = params["lstm_generation"][0], params["lstm_generation"][1]
     batch, seq_len, C = constraint_out.shape
     hidden = p0["w_hh"].shape[0]

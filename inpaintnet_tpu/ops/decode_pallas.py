@@ -111,9 +111,19 @@ def _decode_kernel(ctx_xw_ref, hi0_ref, hi1_ref, tok_tab_ref, x0_xw_ref,
     samples_ref[0, 0] = sampled
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
 def decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int = 256,
                            interpret: bool | None = None):
+    """Public entry: resolves the interpret-mode env hook OUTSIDE jit so
+    the resolved bool is part of the compilation cache key."""
+    if interpret is None:
+        interpret = interpret_default()
+    return _decode_sampling_pallas(params, tick_ctx, h_inits,
+                                   tile_b=tile_b, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def _decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int,
+                            interpret: bool):
     """Fused argmax sampling decode of one measure per row.
 
     :param params: HierarchicalDecoder params (2 tick-GRU layers)
@@ -121,8 +131,6 @@ def decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int = 256,
     :param h_inits: (2, B, 4, H) per-beat tick-GRU init hiddens
     :return: (logits (B, 24, V) — ReLU'd like the reference, samples (B, 24))
     """
-    if interpret is None:
-        interpret = interpret_default()
     p0, p1 = params["tick_gru"][0][0], params["tick_gru"][1][0]
     batch, num_beats, hidden = tick_ctx.shape
     three_h = 3 * hidden

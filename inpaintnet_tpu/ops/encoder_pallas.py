@@ -126,9 +126,19 @@ def _l1_kernel(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
     direction(xf_b_ref, xb_b_ref, wih_b_ref, whh_b_ref, hb_scratch, hnb_ref, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
 def encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int = 256,
                       interpret: bool | None = None):
+    """Public entry: resolves the interpret-mode env hook OUTSIDE jit so
+    the resolved bool is part of the compilation cache key."""
+    if interpret is None:
+        interpret = interpret_default()
+    return _encoder_hn_pallas(gru_params, emb_table, tokens,
+                              tile_b=tile_b, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def _encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int,
+                       interpret: bool):
     """Final hidden states of the 2-layer bidirectional encoder GRU.
 
     :param gru_params: ``gru_init(E, H, 2, bidirectional=True)`` pytree
@@ -136,8 +146,6 @@ def encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int = 256,
     :param tokens: (B, T) int32
     :return: h_n (4, B, H) in torch layout [l0f, l0b, l1f, l1b]
     """
-    if interpret is None:
-        interpret = interpret_default()
     batch, seq_len = tokens.shape
     p0f, p0b = gru_params[0][0], gru_params[0][1]
     p1f, p1b = gru_params[1][0], gru_params[1][1]

@@ -77,13 +77,26 @@ def _gru_stream_kernel(xw_ref, w_hh_ref, b_hh_ref, h0_ref, mask_ref,
         hn_ref[:] = h_new
 
 
-@functools.partial(
-    jax.jit, static_argnames=("reverse", "tile_b", "interpret", "want_ys")
-)
 def gru_layer_pallas_stream(xw, w_hh, b_hh, h0, mask=None, *,
                             reverse: bool = False, tile_b: int = 256,
                             interpret: bool | None = None,
                             want_ys: bool = True):
+    """Public entry: resolves the interpret-mode env hook OUTSIDE jit so
+    the resolved bool is part of the compilation cache key. Docs below."""
+    if interpret is None:
+        interpret = interpret_default()
+    return _gru_layer_pallas_stream(xw, w_hh, b_hh, h0, mask,
+                                    reverse=reverse, tile_b=tile_b,
+                                    interpret=interpret, want_ys=want_ys)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "tile_b", "interpret", "want_ys")
+)
+def _gru_layer_pallas_stream(xw, w_hh, b_hh, h0, mask=None, *,
+                             reverse: bool = False, tile_b: int = 256,
+                             interpret: bool = False,
+                             want_ys: bool = True):
     """One GRU direction over a precomputed input projection, streamed.
 
     grid = (batch_tiles, T) with t fastest; per step the kernel holds one
@@ -99,8 +112,6 @@ def gru_layer_pallas_stream(xw, w_hh, b_hh, h0, mask=None, *,
         (final-hidden-only consumers) — ``outputs`` is then None
     :return: (outputs (B, T, H) or None, h_last (B, H))
     """
-    if interpret is None:
-        interpret = interpret_default()
     batch, seq_len, three_h = xw.shape
     hidden = three_h // 3
     dtype = xw.dtype

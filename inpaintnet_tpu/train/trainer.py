@@ -243,6 +243,10 @@ class Trainer(ABC):
                 # hosts (no host holds the global rows) — skip them (every
                 # process sees the same loader length, so all skip
                 # together; single-host keeps its replicate fallback).
+                # KNOWN DEVIATION: this trims eval tails too, so multi-host
+                # eval means cover slightly fewer examples than single-host
+                # ("eval loaders keep tails") — pick eval batch sizes that
+                # divide the mesh, or pad upstream.
                 rows = jax.tree_util.tree_leaves(batch_data)[0].shape[0]
                 if (rows * jax.process_count()) % self.mesh.shape["data"]:
                     warnings.warn(

@@ -210,3 +210,23 @@ def test_reference_shipped_valid_list_is_reused(tmp_path):
     names = corpus.valid_tune_filenames
     assert len(names) == 13684
     assert names[0].startswith("tune_") and names[0].endswith(".abc")
+
+
+def test_stale_sidecarless_valid_list_rebuilt(tmp_path):
+    """A self-generated valid list WITHOUT a version sidecar (pre-versioning
+    cache) is NOT trusted — only hash-verified reference-shipped lists are."""
+    from inpaintnet_tpu.data.corpus import FILTER_VERSION, FolkCorpus
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "tune_0.abc").write_text(GOOD)
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    # fabricate a stale sidecar-less cache claiming a bogus file is valid
+    lst = cache / "FolkItGen([(4,4)])valid_filepaths.txt"
+    lst.write_text("tune_999.abc\n")
+    corpus = FolkCorpus(str(raw), cache_dir=str(cache))
+    names = corpus.valid_tune_filenames
+    assert names == ["tune_0.abc"]  # re-scanned, not the stale content
+    meta = (cache / "FolkItGen([(4,4)])valid_filepaths.txt.meta").read_text()
+    assert meta.strip() == f"filter_version={FILTER_VERSION}"

@@ -51,7 +51,8 @@ def _decode_kernel(ctx_xw_ref, hi0_ref, hi1_ref, tok_tab_ref, x0_xw_ref,
                    head_b_ref,
                    logits_ref, samples_ref,
                    h0_s, h1_s, prev_xw_s,
-                   *, hidden: int, vocab: int, vocab_pad: int, out_dtype):
+                   *, hidden: int, vocab: int, vocab_pad: int, out_dtype,
+                   halves: int = 1):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -65,65 +66,80 @@ def _decode_kernel(ctx_xw_ref, hi0_ref, hi1_ref, tok_tab_ref, x0_xw_ref,
         h1_s[:] = jnp.zeros_like(h1_s)
 
     reset = (t % TICKS_PER_BEAT) == 0
-    h0 = jnp.where(reset, hi0_ref[0], h0_s[:])
-    h1 = jnp.where(reset, hi1_ref[0], h1_s[:])
+    rows = h0_s.shape[0]
+    hb = rows // halves
 
-    # layer 0: input projection = prev-token table row + beat-context part
-    xw0 = prev_xw_s[:].astype(jnp.float32) + ctx_xw_ref[0].astype(jnp.float32)
-    hw0 = jnp.dot(h0, whh0_ref[:], preferred_element_type=jnp.float32)
-    hw0 = hw0 + bias_ref[0].astype(jnp.float32)
-    h0_new = gru_gates_f32(xw0, hw0, h0.astype(jnp.float32), hidden)
+    # ``halves`` > 1 carves the block into independent row chains whose
+    # per-tick serial dependency chains (hw0 -> gates -> xw1 -> gates ->
+    # head -> argmax -> feedback) the scheduler can interleave — one
+    # half's MXU matmuls overlap the other's VPU gate math, filling the
+    # pipeline bubble the single serial chain leaves at each grid step.
+    for k in range(halves):
+        sl = slice(k * hb, (k + 1) * hb)
+        h0 = jnp.where(reset, hi0_ref[0, sl], h0_s[sl])
+        h1 = jnp.where(reset, hi1_ref[0, sl], h1_s[sl])
 
-    # layer 1
-    h0_store = h0_new.astype(out_dtype)
-    xw1 = jnp.dot(h0_store, wih1_ref[:], preferred_element_type=jnp.float32)
-    xw1 = xw1 + bias_ref[1].astype(jnp.float32)
-    hw1 = jnp.dot(h1, whh1_ref[:], preferred_element_type=jnp.float32)
-    hw1 = hw1 + bias_ref[2].astype(jnp.float32)
-    h1_new = gru_gates_f32(xw1, hw1, h1.astype(jnp.float32), hidden)
-    h1_store = h1_new.astype(out_dtype)
+        # layer 0: input projection = prev-token row + beat-context part
+        xw0 = prev_xw_s[sl].astype(jnp.float32) + ctx_xw_ref[0, sl].astype(
+            jnp.float32
+        )
+        hw0 = jnp.dot(h0, whh0_ref[:], preferred_element_type=jnp.float32)
+        hw0 = hw0 + bias_ref[0].astype(jnp.float32)
+        h0_new = gru_gates_f32(xw0, hw0, h0.astype(jnp.float32), hidden)
 
-    # ReLU head (reference quirk: non-negative logits, decoder.py:369-372)
-    logits = jnp.dot(h1_store, head_w_ref[:], preferred_element_type=jnp.float32)
-    logits = jax.nn.relu(logits + head_b_ref[0].astype(jnp.float32))
-    # padding columns must lose every argmax tie: real logits are >= 0
-    col = lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < vocab, logits, -1.0)
-    # argmax with first-index tie-break, spelled as max + min-index
-    # (Mosaic cannot lower f32 argmax directly)
-    row_max = jnp.max(logits, axis=-1, keepdims=True)
-    sampled = jnp.min(
-        jnp.where(logits == row_max, col, vocab_pad), axis=-1
-    ).astype(jnp.int32)
+        # layer 1
+        h0_store = h0_new.astype(out_dtype)
+        xw1 = jnp.dot(h0_store, wih1_ref[:], preferred_element_type=jnp.float32)
+        xw1 = xw1 + bias_ref[1].astype(jnp.float32)
+        hw1 = jnp.dot(h1, whh1_ref[:], preferred_element_type=jnp.float32)
+        hw1 = hw1 + bias_ref[2].astype(jnp.float32)
+        h1_new = gru_gates_f32(xw1, hw1, h1.astype(jnp.float32), hidden)
+        h1_store = h1_new.astype(out_dtype)
 
-    # autoregressive feedback: one-hot matmul against the fused token table
-    onehot = (
-        sampled[:, None]
-        == lax.broadcasted_iota(jnp.int32, (sampled.shape[0], vocab_pad), 1)
-    ).astype(tok_tab_ref.dtype)
-    prev_xw_s[:] = jnp.dot(
-        onehot, tok_tab_ref[:], preferred_element_type=jnp.float32
-    ).astype(prev_xw_s.dtype)
+        # ReLU head (reference quirk: non-negative logits, decoder.py:369-372)
+        logits = jnp.dot(
+            h1_store, head_w_ref[:], preferred_element_type=jnp.float32
+        )
+        logits = jax.nn.relu(logits + head_b_ref[0].astype(jnp.float32))
+        # padding columns must lose every argmax tie: real logits are >= 0
+        col = lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < vocab, logits, -1.0)
+        # argmax with first-index tie-break, spelled as max + min-index
+        # (Mosaic cannot lower f32 argmax directly)
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        sampled = jnp.min(
+            jnp.where(logits == row_max, col, vocab_pad), axis=-1
+        ).astype(jnp.int32)
 
-    h0_s[:] = h0_store
-    h1_s[:] = h1_store
-    logits_ref[0] = logits.astype(out_dtype)
-    samples_ref[0, 0] = sampled
+        # autoregressive feedback: one-hot matmul against the token table
+        onehot = (
+            sampled[:, None]
+            == lax.broadcasted_iota(jnp.int32, (sampled.shape[0], vocab_pad), 1)
+        ).astype(tok_tab_ref.dtype)
+        prev_xw_s[sl] = jnp.dot(
+            onehot, tok_tab_ref[:], preferred_element_type=jnp.float32
+        ).astype(prev_xw_s.dtype)
+
+        h0_s[sl] = h0_store
+        h1_s[sl] = h1_store
+        logits_ref[0, sl] = logits.astype(out_dtype)
+        samples_ref[0, 0, sl] = sampled
 
 
 def decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int = 256,
-                           interpret: bool | None = None):
+                           halves: int = 1, interpret: bool | None = None):
     """Public entry: resolves the interpret-mode env hook OUTSIDE jit so
     the resolved bool is part of the compilation cache key."""
     if interpret is None:
         interpret = interpret_default()
     return _decode_sampling_pallas(params, tick_ctx, h_inits,
-                                   tile_b=tile_b, interpret=interpret)
+                                   tile_b=tile_b, halves=halves,
+                                   interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_b", "halves", "interpret"))
 def _decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int,
-                            interpret: bool):
+                            halves: int, interpret: bool):
     """Fused argmax sampling decode of one measure per row.
 
     :param params: HierarchicalDecoder params (2 tick-GRU layers)
@@ -151,6 +167,9 @@ def _decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int,
     bias = jnp.stack([p0["b_hh"], p1["b_ih"], p1["b_hh"]])  # (3, 3H)
 
     tile_b = min(tile_b, round_up(batch, 8))
+    if tile_b % halves or (tile_b // halves) % 8:
+        raise ValueError(f"tile_b {tile_b} must split into {halves} sublane-"
+                         "aligned halves")
     padded_b = round_up(batch, tile_b)
     if padded_b != batch:
         pad = padded_b - batch
@@ -168,7 +187,7 @@ def _decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int,
 
     kernel = functools.partial(
         _decode_kernel, hidden=hidden, vocab=vocab, vocab_pad=vocab_pad,
-        out_dtype=dtype,
+        out_dtype=dtype, halves=halves,
     )
     logits_t, samples_t = pl.pallas_call(
         kernel,

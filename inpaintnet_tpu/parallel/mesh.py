@@ -125,6 +125,44 @@ def make_global_batch(mesh: Mesh, local_batch):
     return jax.tree_util.tree_map(put, local_batch)
 
 
+def pad_rows_to_divisible(batch, data_axis: int, process_count: int):
+    """Pad a process-local batch's leading dim so the GLOBAL row count
+    divides the data axis, and return the per-row validity mask.
+
+    Multi-host tail batches cannot fall back to replication (no process
+    holds the global rows), so eval pads instead: every process zero-pads
+    its local rows to the smallest count whose global total divides the
+    mesh, and losses mask the pad rows out (masked batch mean over real
+    rows == the unpadded batch mean, so epoch aggregation matches the
+    single-host "eval loaders keep tails" semantics exactly).
+
+    :param batch: pytree of numpy arrays, equal leading dim = local rows
+    :param data_axis: mesh "data" axis size
+    :param process_count: number of feeding processes
+    :return: (padded batch, row_mask (padded_rows,) float32 1=real) —
+        the input batch and ``None`` if already divisible
+    """
+    import math
+
+    leaves = jax.tree_util.tree_leaves(batch)
+    rows = leaves[0].shape[0]
+    if (rows * process_count) % data_axis == 0:
+        return batch, None
+    # r' * P % D == 0  <=>  r' % (D / gcd(D, P)) == 0
+    step = data_axis // math.gcd(data_axis, process_count)
+    padded_rows = ((rows + step - 1) // step) * step
+
+    def pad(x):
+        x = np.asarray(x)
+        return np.concatenate(
+            [x, np.zeros((padded_rows - rows,) + x.shape[1:], dtype=x.dtype)]
+        )
+
+    row_mask = np.zeros(padded_rows, dtype=np.float32)
+    row_mask[:rows] = 1.0
+    return jax.tree_util.tree_map(pad, batch), row_mask
+
+
 def _is_gate_matrix(path_str: str, x) -> bool:
     return (
         x.ndim == 2

@@ -72,7 +72,8 @@ class AnticipationRNNGaussianRegTrainer(Trainer):
             return constraints_location, start_tick, end_tick, num_past, num_target
         return constraints_location, start_tick, end_tick
 
-    def loss_and_metrics(self, params, batch_data, rng, train, extra=None):
+    def loss_and_metrics(self, params, batch_data, rng, train, extra=None,
+                         row_mask=None):
         score, md, loc = batch_data
         if self.gaussian_reg_coeff > 0.0:
             # activation regularizer requires the TF full-sequence pass —
@@ -88,6 +89,8 @@ class AnticipationRNNGaussianRegTrainer(Trainer):
             weights = self.model.apply(params, score, md, loc, train=train, rng=rng)
             reg = 0.0
         mask = 1 - loc  # loss on unconstrained (target) ticks only (:41-47)
+        if row_mask is not None:
+            mask = mask * row_mask[:, None]
         loss = self.mean_crossentropy_loss(weights, score, mask=mask)
         loss = loss + self.gaussian_reg_coeff * reg
         accuracy = self.mean_accuracy(weights, score, mask=mask)

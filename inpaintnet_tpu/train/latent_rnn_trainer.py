@@ -101,7 +101,8 @@ class LatentRNNTrainer(Trainer):
         return packed
 
     # --- loss -------------------------------------------------------------------- #
-    def loss_and_metrics(self, params, batch_data, rng, train, extra=None):
+    def loss_and_metrics(self, params, batch_data, rng, train, extra=None,
+                         row_mask=None):
         past, pm, future, fm, target, tm = batch_data
         weights, samples, gen_z = self.model.apply(
             params,
@@ -116,6 +117,8 @@ class LatentRNNTrainer(Trainer):
             rng=rng,
         )
         tick_mask = tm[:, :, None] * np.ones((1, 1, self.measure_seq_len))
+        if row_mask is not None:
+            tick_mask = tick_mask * row_mask[:, None, None]
         loss = self.mean_crossentropy_loss_alt(weights, target, mask=tick_mask)
         accuracy = self.mean_accuracy_alt(weights, target, mask=tick_mask)
         return loss, {"accuracy": accuracy}

@@ -35,6 +35,7 @@ import optax
 from inpaintnet_tpu.parallel.mesh import (
     make_global_batch,
     make_mesh,
+    pad_rows_to_divisible,
     replicate,
     shard_batch,
 )
@@ -126,8 +127,14 @@ class Trainer(ABC):
         """Host-side batch prep: returns a pytree of numpy arrays."""
 
     @abstractmethod
-    def loss_and_metrics(self, params, batch_data, rng, train: bool, extra=None):
-        """PURE loss: (scalar loss, {"accuracy": scalar or None})."""
+    def loss_and_metrics(self, params, batch_data, rng, train: bool, extra=None,
+                         row_mask=None):
+        """PURE loss: (scalar loss, {"accuracy": scalar or None}).
+
+        ``row_mask`` (optional (B,) float, 1 = real row) marks zero-padded
+        rows appended by the multi-host eval-tail path; implementations
+        must exclude masked rows so the batch mean equals the unpadded
+        batch's mean."""
 
     def update_scheduler(self, epoch_num: int):
         """LR schedule hook (no-op like reference vae_trainer.py:57-63)."""
@@ -213,9 +220,10 @@ class Trainer(ABC):
             trainable = optax.apply_updates(trainable, updates)
             return self.merge_params(params, trainable), opt_state, loss, metrics
 
-        def eval_step(params, batch_data, rng, extra):
+        def eval_step(params, batch_data, rng, extra, row_mask=None):
             return self.loss_and_metrics(
-                maybe_cast(params), batch_data, rng, False, extra
+                maybe_cast(params), batch_data, rng, False, extra,
+                row_mask=row_mask,
             )
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
@@ -236,27 +244,39 @@ class Trainer(ABC):
             extra = replicate(self.mesh, extra)
         for batch in data_loader:
             batch_data = self.process_batch_data(batch)
+            row_mask = None
             if jax.process_count() > 1:
                 # multi-host: this process's loader yields its local rows;
                 # assemble the global array without gathering on any host.
                 # Indivisible tail batches cannot be replicated across
-                # hosts (no host holds the global rows) — skip them (every
-                # process sees the same loader length, so all skip
-                # together; single-host keeps its replicate fallback).
-                # KNOWN DEVIATION: this trims eval tails too, so multi-host
-                # eval means cover slightly fewer examples than single-host
-                # ("eval loaders keep tails") — pick eval batch sizes that
-                # divide the mesh, or pad upstream.
+                # hosts (no host holds the global rows): eval pads each
+                # process's rows and masks them out of the loss (the masked
+                # batch mean over real rows == the unpadded mean, so this
+                # matches single-host "eval loaders keep tails" exactly);
+                # train skips them (train loaders drop_last like the
+                # reference, so this only guards misconfigured loaders —
+                # every process sees the same loader length, so all skip
+                # together).
                 rows = jax.tree_util.tree_leaves(batch_data)[0].shape[0]
                 if (rows * jax.process_count()) % self.mesh.shape["data"]:
-                    warnings.warn(
-                        f"skipping {rows}-row tail batch: global size does "
-                        f"not divide the {self.mesh.shape['data']}-way data "
-                        "axis in a multi-host run",
-                        stacklevel=2,
+                    if train:
+                        warnings.warn(
+                            f"skipping {rows}-row train tail batch: global "
+                            "size does not divide the "
+                            f"{self.mesh.shape['data']}-way data axis in a "
+                            "multi-host run",
+                            stacklevel=2,
+                        )
+                        continue
+                    batch_data, row_mask = pad_rows_to_divisible(
+                        batch_data, self.mesh.shape["data"], jax.process_count()
                     )
-                    continue
-                batch_data = make_global_batch(self.mesh, batch_data)
+                if row_mask is None:
+                    batch_data = make_global_batch(self.mesh, batch_data)
+                else:
+                    batch_data, row_mask = make_global_batch(
+                        self.mesh, (batch_data, row_mask)
+                    )
             else:
                 batch_data = shard_batch(self.mesh, batch_data)
             key = self.rng.next()
@@ -265,7 +285,9 @@ class Trainer(ABC):
                     params, opt_state, batch_data, key, extra
                 )
             else:
-                loss, metrics = self._eval_step(params, batch_data, key, extra)
+                loss, metrics = self._eval_step(
+                    params, batch_data, key, extra, row_mask
+                )
             # keep device scalars — converting per step would force a host
             # sync and stall the dispatch pipeline; one sync at epoch end
             losses.append(loss)
@@ -285,15 +307,21 @@ class Trainer(ABC):
 
     def train_model(self, batch_size, num_epochs, plot=False, log=False,
                     split=(0.70, 0.20)):
-        """(reference trainer.py:41-124; ``plot`` kept for API parity and
-        treated as ``log``)."""
+        """(reference trainer.py:41-124). ``plot`` redraws live train/val
+        loss+accuracy curves each epoch like the reference (interactive
+        figure with a display; a PNG under ``runs/`` headless) and also
+        enables the JSONL metrics log."""
         log = log or plot
         metrics_path = None
+        live_plot = None
         if log:
             os.makedirs("runs", exist_ok=True)
-            metrics_path = os.path.join(
-                "runs", f"{type(self.model).__name__}_{int(time.time())}.jsonl"
-            )
+            run_name = f"{type(self.model).__name__}_{int(time.time())}"
+            metrics_path = os.path.join("runs", run_name + ".jsonl")
+            if plot:
+                from inpaintnet_tpu.utils.plotting import LivePlot
+
+                live_plot = LivePlot(os.path.join("runs", run_name + ".png"))
         generator_train, generator_val, _ = self.dataset.data_loaders(
             batch_size=batch_size, split=split, seed=self.seed
         )
@@ -322,6 +350,8 @@ class Trainer(ABC):
             if metrics_path:
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(data_element) + "\n")
+            if live_plot is not None:
+                live_plot.update(**data_element)
             self.print_epoch_stats(**data_element)
             self.model.save()
             self.save_state()
@@ -331,7 +361,11 @@ class Trainer(ABC):
                 self.early_stopper(mean_loss_val, self.model)
                 if self.early_stopper.early_stop:
                     print("Early Stopping")
+                    if live_plot is not None:
+                        live_plot.close()
                     return
+        if live_plot is not None:
+            live_plot.close()
 
     # --- persistence ----------------------------------------------------------- #
     @property

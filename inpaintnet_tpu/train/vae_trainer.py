@@ -29,16 +29,25 @@ class VAETrainer(Trainer):
             score_tensor = score_tensor.reshape(score_tensor.shape[0], -1)
         return score_tensor.astype(np.int32)
 
-    def loss_and_metrics(self, params, batch_data, rng, train, extra=None):
+    def loss_and_metrics(self, params, batch_data, rng, train, extra=None,
+                         row_mask=None):
         score = batch_data
         weights, samples, z_dist, prior_dist, z_tilde, z_prior = self.model.apply(
             params, score, train=train, rng=rng
         )
-        recons_loss = self.mean_crossentropy_loss(weights, score)
-        kld = kl_diag_normal_vs_standard(z_dist)
-        dist_loss = self.beta * kld.sum(axis=1).mean()
+        mask = None if row_mask is None else row_mask[:, None] * jnp.ones(
+            (1, score.shape[1])
+        )
+        recons_loss = self.mean_crossentropy_loss(weights, score, mask=mask)
+        kld = kl_diag_normal_vs_standard(z_dist).sum(axis=1)
+        if row_mask is None:
+            dist_loss = self.beta * kld.mean()
+        else:
+            dist_loss = self.beta * (kld * row_mask).sum() / jnp.maximum(
+                row_mask.sum(), 1.0
+            )
         loss = recons_loss + dist_loss
-        accuracy = self.mean_accuracy(weights, score)
+        accuracy = self.mean_accuracy(weights, score, mask=mask)
         return loss, {"accuracy": accuracy}
 
     @staticmethod

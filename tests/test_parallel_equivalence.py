@@ -173,3 +173,29 @@ def test_local_batch_size_validates(monkeypatch):
     assert mesh_mod.local_batch_size(m, 32) == 8
     with _pytest.raises(ValueError):
         mesh_mod.local_batch_size(m, 30)
+
+
+def test_pad_rows_to_divisible_math():
+    """Eval-tail padding: smallest local row count whose global total
+    divides the data axis, zero fill, correct validity mask."""
+    import numpy as np
+
+    from inpaintnet_tpu.parallel.mesh import pad_rows_to_divisible
+
+    batch = {"x": np.ones((5, 3), np.float32), "y": np.arange(5, dtype=np.int32)}
+    # already divisible: returned untouched, mask None
+    same, mask = pad_rows_to_divisible(batch, data_axis=4, process_count=4)
+    assert mask is None and same is batch
+
+    # 5 rows x 4 procs = 20 % 24 != 0; step = 24/gcd(24,4) = 6 -> pad to 6
+    padded, mask = pad_rows_to_divisible(batch, data_axis=24, process_count=4)
+    assert padded["x"].shape == (6, 3) and padded["y"].shape == (6,)
+    np.testing.assert_array_equal(mask, [1, 1, 1, 1, 1, 0])
+    np.testing.assert_array_equal(padded["x"][:5], batch["x"])
+    np.testing.assert_array_equal(padded["x"][5], 0.0)
+    assert padded["y"].dtype == batch["y"].dtype
+
+    # single process, 8-way axis: 5 -> 8
+    padded, mask = pad_rows_to_divisible(batch, data_axis=8, process_count=1)
+    assert padded["x"].shape == (8, 3)
+    assert mask.sum() == 5 and mask.shape == (8,)

@@ -178,3 +178,110 @@ def test_arnn_gaussian_reg_active(env):
     # determinism and compare magnitudes
     l1, _ = reg_tr.loss_and_metrics(model.params, bd, jax.random.PRNGKey(0), False)
     assert float(l1) > float(l0)  # regularizer adds positive mass
+
+
+def test_row_mask_excludes_pad_rows_all_trainers(env):
+    """Multi-host eval-tail pad-and-mask: rows flagged 0 in ``row_mask``
+    cannot influence the loss/accuracy of any trainer family. At fixed
+    padded shape (so the rsample noise realization is identical), zero-fill
+    vs garbage-fill of the pad rows must give bitwise-equal results; the
+    deterministic ARNN eval must additionally equal the UNPADDED loss
+    exactly."""
+    from inpaintnet_tpu.parallel.mesh import pad_rows_to_divisible
+
+    ds, ckpt = env
+    vae = _tiny_vae(ds, ckpt)
+    vae.init(jax.random.PRNGKey(3))
+    lrnn = LatentRNN(
+        ds, vae, num_rnn_layers=2, rnn_hidden_size=16, dropout=0.0,
+        auto_reg=False, teacher_forcing=True, checkpoint_dir=ckpt,
+    )
+    arnn = ConstraintModelGaussianReg(
+        ds, note_embedding_dim=8, metadata_embedding_dim=4,
+        num_lstm_constraints_units=16, num_lstm_generation_units=16,
+        linear_hidden_size=12, num_layers=1, unary_constraint=True,
+        checkpoint_dir=ckpt,
+    )
+    trainers = [
+        VAETrainer(ds, _tiny_vae(ds, ckpt), lr=1e-3),
+        LatentRNNTrainer(ds, lrnn, lr=1e-3),
+        AnticipationRNNGaussianRegTrainer(ds, arnn, lr=1e-3),
+    ]
+    loader, _, _ = ds.data_loaders(batch_size=5, split=(0.7, 0.2))
+    batch = next(iter(loader))
+    key = jax.random.PRNGKey(11)
+    for tr in trainers:
+        bd = tr.process_batch_data(batch)
+        extra = tr.extra_params()
+        # rows (5 or 5*16) x 4 processes don't divide a 24-way data axis
+        padded, row_mask = pad_rows_to_divisible(bd, 24, 4)
+        assert row_mask is not None, type(tr).__name__
+        rows = int(row_mask.sum())
+        assert rows == jax.tree_util.tree_leaves(bd)[0].shape[0]
+        loss0, m0 = tr.loss_and_metrics(
+            tr.model.params, padded, key, False, extra, row_mask=row_mask
+        )
+        assert np.isfinite(float(loss0)), type(tr).__name__
+
+        def garble(x):
+            # fill pad rows with copies of REAL rows (valid token/metadata
+            # content that differs from the zero fill)
+            x = np.array(x)
+            n_pad = x.shape[0] - rows
+            x[rows:] = x[np.arange(n_pad) % rows]
+            return x
+
+        garbled = jax.tree_util.tree_map(garble, padded)
+        loss1, m1 = tr.loss_and_metrics(
+            tr.model.params, garbled, key, False, extra, row_mask=row_mask
+        )
+        assert float(loss0) == float(loss1), type(tr).__name__
+        assert float(m0["accuracy"]) == float(m1["accuracy"]), type(tr).__name__
+
+    # the ARNN eval is deterministic (no sampling): padded+masked must
+    # EQUAL the unpadded loss
+    tr = trainers[2]
+    bd = tr.process_batch_data(batch)
+    base_loss, base_m = tr.loss_and_metrics(tr.model.params, bd, key, False)
+    padded, row_mask = pad_rows_to_divisible(bd, 24, 4)
+    pad_loss, pad_m = tr.loss_and_metrics(
+        tr.model.params, padded, key, False, row_mask=row_mask
+    )
+    np.testing.assert_allclose(float(pad_loss), float(base_loss), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(pad_m["accuracy"]), float(base_m["accuracy"]), rtol=1e-6
+    )
+
+
+def test_live_plot_png_headless(env, tmp_path, monkeypatch):
+    """plot=True on a headless host renders the train/val curves to a PNG
+    under runs/ every epoch (reference trainer.py:106-110 draws a live
+    figure; the PNG is the headless equivalent)."""
+    import glob
+
+    ds, ckpt = env
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("DISPLAY", raising=False)
+    model = _tiny_vae(ds, ckpt)
+    trainer = VAETrainer(ds, model, lr=3e-3)
+    trainer.train_model(batch_size=8, num_epochs=1, plot=True, split=(0.7, 0.2))
+    pngs = glob.glob(str(tmp_path / "runs" / "MeasureVAE_*.png"))
+    jsonls = glob.glob(str(tmp_path / "runs" / "MeasureVAE_*.jsonl"))
+    assert len(pngs) == 1 and len(jsonls) == 1
+    assert os.path.getsize(pngs[0]) > 1000  # a real rendered figure
+
+
+def test_live_plot_curves_accumulate(tmp_path):
+    """LivePlot.update accumulates epochs and rewrites the PNG."""
+    from inpaintnet_tpu.utils.plotting import LivePlot
+
+    png = str(tmp_path / "curves.png")
+    lp = LivePlot(png, interactive=False)
+    for e in range(3):
+        lp.update(
+            epoch_index=e, mean_loss_train=3.0 - e, mean_accuracy_train=0.1 * e,
+            mean_loss_val=3.1 - e, mean_accuracy_val=0.1 * e,
+        )
+    assert lp.epochs == [0, 1, 2]
+    assert os.path.exists(png)
+    lp.close()

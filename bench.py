@@ -42,6 +42,13 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
     # logits/argmax decode is robust to it (set INPAINTNET_BENCH_DTYPE=float32
     # to measure full precision)
     dtype = os.environ.get("INPAINTNET_BENCH_DTYPE", "bfloat16")
+    # quantized serving default on TPU: measured QUALITY-NEUTRAL on trained
+    # weights (inpaint accuracy identical to f32 — docs/PERFORMANCE.md
+    # "int8 serving", benchmarks/quality_check.py). Opt out with
+    # INPAINTNET_SERVE_QUANT=none.
+    if dtype != "float32" and jax.default_backend() == "tpu":
+        os.environ.setdefault("INPAINTNET_SERVE_QUANT", "int8")
+    serve_quant = os.environ.get("INPAINTNET_SERVE_QUANT", "none")
     if dtype != "float32":
         import jax.numpy as jnp
 
@@ -100,6 +107,7 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
             "batch": batch,
             "p50_latency_ms_2measure": p50_ms,
             "step_ms": dt * 1e3,
+            "serve_quant": serve_quant,
         }
     # p50 latency of a single 2-measure inpaint (batch 1)
     small = tuple(
@@ -124,6 +132,7 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
         "batch": batch,
         "p50_latency_ms_2measure": p50_ms,
         "step_ms": dt * 1e3,
+        "serve_quant": serve_quant,
     }
 
 
@@ -190,6 +199,7 @@ def main():
                     ),
                     "batch": result["batch"],
                     "step_ms": round(result["step_ms"], 2),
+                    "serve_quant": result["serve_quant"],
                 },
             }
         )

@@ -2,7 +2,11 @@
 
 Usage: python benchmarks/bench_gru.py [batch] [hidden] [T]
 """
+
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

@@ -8,6 +8,11 @@ pinned to a stage. Usage: python benchmarks/bench_stages.py [B]
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -1,0 +1,179 @@
+"""Trained-weights serving quality harness.
+
+Trains flagship-shaped models (2x512 bi-GRU MeasureVAE + LatentRNN) on a
+synthetic corpus, then measures inpainting quality of every SERVING
+configuration on a held-out batch — the check behind the quality table in
+docs/PERFORMANCE.md. Run on the real TPU (CPU works but the kernel routes
+gate off):
+
+    python benchmarks/quality_check.py [workdir]
+
+Configs compared (fresh trace per config so the trace-time env routing
+takes effect):
+- ``xla-f32``     — XLA scans, f32 (the reference numeric)
+- ``pallas-bf16`` — the default serving path (fused kernels, bf16)
+- ``pallas-int8`` — INPAINTNET_SERVE_QUANT=int8 (ops/quantize.py)
+
+Metrics: generated-target token accuracy vs ground truth, and token
+agreement vs the ``xla-f32`` decode (how much the numeric changes the
+actual argmax decisions). Training state is cached in the workdir; delete
+it to retrain.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORKDIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/inpaintnet_quality"
+
+VAE_EPOCHS = int(os.environ.get("QC_VAE_EPOCHS", "25"))
+RNN_EPOCHS = int(os.environ.get("QC_RNN_EPOCHS", "6"))
+
+
+def build_dataset():
+    from inpaintnet_tpu.data import BeatMarkerMetadata, DatasetManager, TickMetadata
+    from inpaintnet_tpu.data.synthetic import generate_corpus
+
+    corpus = os.path.join(WORKDIR, "corpus")
+    cache = os.path.join(WORKDIR, "cache")
+    if not os.path.isdir(corpus):
+        os.makedirs(corpus, exist_ok=True)
+        generate_corpus(corpus, num_tunes=200, num_bars=16, seed=7)
+    mgr = DatasetManager(cache_dir=cache, corpus_dir=corpus)
+    metadatas = [BeatMarkerMetadata(6), TickMetadata(6)]
+    ds = mgr.get_dataset(
+        "folk_4by4nbars_train", metadatas=metadatas, num_bars=16, train=True
+    )
+    ds.arrays
+    return ds
+
+
+def build_models(ds, ckpt_dir):
+    import jax
+
+    from inpaintnet_tpu.models import LatentRNN, MeasureVAE
+
+    vae = MeasureVAE(
+        dataset=ds, note_embedding_dim=10, num_encoder_layers=2,
+        encoder_hidden_size=512, encoder_dropout_prob=0.5,
+        latent_space_dim=256, num_decoder_layers=2, decoder_hidden_size=512,
+        decoder_dropout_prob=0.5, checkpoint_dir=ckpt_dir,
+    )
+    vae.init(jax.random.PRNGKey(0))
+    model = LatentRNN(
+        dataset=ds, vae_model=vae, num_rnn_layers=2, rnn_hidden_size=512,
+        dropout=0.5, auto_reg=False, teacher_forcing=True,
+        checkpoint_dir=ckpt_dir,
+    )
+    model.init(jax.random.PRNGKey(1))
+    return vae, model
+
+
+def train_if_needed(ds, vae, model):
+    from inpaintnet_tpu.train import LatentRNNTrainer, VAETrainer
+
+    if os.path.exists(model.filepath) and os.path.exists(vae.filepath):
+        vae.load()
+        model.load()
+        print("loaded cached checkpoints from", os.path.dirname(vae.filepath))
+        return
+    t0 = time.time()
+    vt = VAETrainer(ds, vae, lr=1e-4, compute_dtype="bfloat16")
+    vt.train_model(batch_size=256, num_epochs=VAE_EPOCHS, log=False)
+    print(f"VAE trained in {time.time() - t0:.0f}s")
+    t0 = time.time()
+    rt = LatentRNNTrainer(ds, model, lr=1e-4, compute_dtype="bfloat16")
+    rt.train_model(batch_size=32, num_epochs=RNN_EPOCHS, log=False)
+    print(f"LatentRNN trained in {time.time() - t0:.0f}s")
+
+
+def eval_config(model, vae, batch_args, dtype, env=None, label=""):
+    """Generated-target accuracy under one serving config (fresh trace)."""
+    import jax
+    import jax.numpy as jnp
+
+    from inpaintnet_tpu.models.base import cast_pytree
+    from inpaintnet_tpu.utils.timing import fetch
+
+    saved = {}
+    env = env or {}
+    for k, v in env.items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        params, vae_params = model.params, vae.params
+        if dtype != "float32":
+            params = cast_pytree(params, jnp.dtype(dtype))
+            vae_params = cast_pytree(vae_params, jnp.dtype(dtype))
+        past, pm, future, fm, target, tm = batch_args
+
+        # a fresh function object per config -> fresh jit cache -> the
+        # trace re-reads the serving env routing
+        def fn(params, vae_params, past, pm, future, fm, target, tm, key):
+            w, samples, z = model.apply(
+                params, vae_params, past, future, target,
+                past_mask=pm, future_mask=fm, target_mask=tm,
+                train=False, rng=key,
+            )
+            return samples
+
+        jf = jax.jit(fn)
+        key = jax.random.PRNGKey(42)  # same rsample draws for every config
+        out = jf(params, vae_params, past, pm, future, fm, target, tm, key)
+        fetch(out)
+        return np.asarray(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def main():
+    import jax
+
+    print("platform:", jax.devices()[0].platform)
+    ds = build_dataset()
+    ckpt_dir = os.path.join(WORKDIR, "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    vae, model = build_models(ds, ckpt_dir)
+    train_if_needed(ds, vae, model)
+
+    # held-out eval batch, fixed reference listening-test split (6/4/6)
+    from inpaintnet_tpu.train.latent_rnn_trainer import pack_padded, split_score
+
+    _, _, test_loader = ds.data_loaders(batch_size=512, split=(0.7, 0.2))
+    batch = next(iter(test_loader))
+    score = np.asarray(batch[0])
+    past, future, target = split_score(score, 6, 6, 4, model.measure_seq_len)
+    packed = pack_padded(past, future, target, ds.n_bars, model.max_target)
+    p, pm, f, fm, t, tm = packed
+    batch_args = (p, pm, f, fm, t, tm)
+    tgt_mask = tm[:, :, None] * np.ones((1, 1, model.measure_seq_len))
+
+    configs = [
+        ("xla-f32", "float32",
+         {"INPAINTNET_ENCODER_IMPL": "xla", "INPAINTNET_DECODE_IMPL": "xla"}),
+        ("pallas-bf16", "bfloat16", {}),
+        ("pallas-int8", "bfloat16", {"INPAINTNET_SERVE_QUANT": "int8"}),
+    ]
+    results = {}
+    for label, dtype, env in configs:
+        samples = eval_config(model, vae, batch_args, dtype, env, label)
+        results[label] = samples
+        acc = ((samples == t) * tgt_mask).sum() / tgt_mask.sum()
+        line = f"{label:>12}: inpaint accuracy {acc:.4f}"
+        if label != "xla-f32":
+            agree = ((samples == results["xla-f32"]) * tgt_mask).sum() / tgt_mask.sum()
+            line += f"  token agreement vs f32 {agree:.4f}"
+        print(line)
+
+
+if __name__ == "__main__":
+    main()

@@ -119,13 +119,30 @@ class Encoder:
         """:param score_tensor: (B, T) int tokens -> DiagNormal over z."""
         batch = score_tensor.shape[0]
         if not train and self._use_pallas(params):
-            from inpaintnet_tpu.ops.encoder_pallas import encoder_hn_pallas
+            import os
+
+            from inpaintnet_tpu.ops.encoder_pallas import (
+                encoder_hn_pallas,
+                encoder_hn_pallas_int8,
+            )
             from inpaintnet_tpu.ops.pallas_common import kernel_with_xla_grad
+
+            # INPAINTNET_SERVE_QUANT=int8: per-channel int8 weights +
+            # int8 recurrent states on the MXU's int8 path (~1.37x the
+            # bf16 kernel at serving shapes; ~1% relative h_n error —
+            # see ops/quantize.py). Opt-in; resolved at trace time like
+            # INPAINTNET_ENCODER_IMPL.
+            if os.environ.get("INPAINTNET_SERVE_QUANT", "none") == "int8":
+                kernel = lambda gp, tab, tok: encoder_hn_pallas_int8(  # noqa: E731
+                    gp, tab, tok
+                )
+            else:
+                kernel = lambda gp, tab, tok: encoder_hn_pallas(gp, tab, tok)  # noqa: E731
 
             # kernel forward; equivalent XLA scan under differentiation
             # (pallas_call has no autodiff rule)
             fn = kernel_with_xla_grad(
-                lambda gp, tab, tok: encoder_hn_pallas(gp, tab, tok),
+                kernel,
                 lambda gp, tab, tok: gru_apply(
                     gp, embedding_apply({"table": tab}, tok),
                     last_outputs=False,
@@ -321,14 +338,26 @@ class HierarchicalDecoder:
         ).reshape(self.num_layers, batch, NUM_BEATS_PER_MEASURE, -1)
 
         if score_tensor is None and not train and self._use_pallas_decode(params):
-            from inpaintnet_tpu.ops.decode_pallas import decode_sampling_pallas
+            import os
+
+            from inpaintnet_tpu.ops.decode_pallas import (
+                decode_sampling_pallas,
+                decode_sampling_pallas_int8,
+            )
             from inpaintnet_tpu.ops.pallas_common import kernel_with_xla_grad
+
+            # INPAINTNET_SERVE_QUANT=int8: quantized decode (see the
+            # encoder route above and ops/quantize.py)
+            if os.environ.get("INPAINTNET_SERVE_QUANT", "none") == "int8":
+                kernel = lambda p, c, h: decode_sampling_pallas_int8(p, c, h)  # noqa: E731
+            else:
+                kernel = lambda p, c, h: decode_sampling_pallas(p, c, h)  # noqa: E731
 
             # pallas_call has no autodiff rule; under jax.grad (LatentRNN
             # training differentiates through this frozen-VAE decode) the
             # wrapper linearizes the equivalent XLA scan instead
             fn = kernel_with_xla_grad(
-                lambda p, c, h: decode_sampling_pallas(p, c, h),
+                kernel,
                 lambda p, c, h: self._decode_scan(
                     p, c, h, train=False, rng=jax.random.PRNGKey(0),
                     score_tensor=None,

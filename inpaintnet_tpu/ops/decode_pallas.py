@@ -126,20 +126,109 @@ def _decode_kernel(ctx_xw_ref, hi0_ref, hi1_ref, tok_tab_ref, x0_xw_ref,
         samples_ref[0, 0, sl] = sampled
 
 
+def _decode_kernel_pipelined(ctx_xw_ref, hi0_ref, hi1_ref, hi0n_ref, hi1n_ref,
+                             tok_tab_ref, x0_xw_ref,
+                             whh0_ref, wih1_ref, whh1_ref, bias_ref,
+                             head_w_ref, head_b_ref,
+                             logits_ref, samples_ref,
+                             h0_s, h1_s, prev_xw_s, hw0_s, hw1_s,
+                             *, hidden: int, vocab: int, vocab_pad: int,
+                             out_dtype):
+    """Software-pipelined variant: the recurrent matmuls ``hw0``/``hw1``
+    for step t+1 are issued at the END of step t (they depend only on the
+    step's new hidden states, not on the head/argmax/feedback tail), so
+    they overlap the tail and drop off the per-tick critical path — the
+    serial chain shrinks from 5 MXU ops to 3 (xw1, head, feedback).
+    ``hi0n/hi1n`` are the NEXT step's beat-init blocks (index map
+    clamp((t+1)//6)); hidden scratch holds reset-RESOLVED states."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        prev_xw_s[:] = jnp.broadcast_to(x0_xw_ref[0], prev_xw_s.shape).astype(
+            prev_xw_s.dtype
+        )
+        h0 = hi0_ref[0]
+        h1 = hi1_ref[0]
+        h0_s[:] = h0
+        h1_s[:] = h1
+        hw0_s[:] = (
+            jnp.dot(h0, whh0_ref[:], preferred_element_type=jnp.float32)
+            + bias_ref[0].astype(jnp.float32)
+        )
+        hw1_s[:] = (
+            jnp.dot(h1, whh1_ref[:], preferred_element_type=jnp.float32)
+            + bias_ref[2].astype(jnp.float32)
+        )
+
+    h0 = h0_s[:]
+    h1 = h1_s[:]
+
+    # layer 0: hw0 was precomputed; chain starts at the gate math
+    xw0 = prev_xw_s[:].astype(jnp.float32) + ctx_xw_ref[0].astype(jnp.float32)
+    h0_new = gru_gates_f32(xw0, hw0_s[:], h0.astype(jnp.float32), hidden)
+
+    # layer 1
+    h0_store = h0_new.astype(out_dtype)
+    xw1 = jnp.dot(h0_store, wih1_ref[:], preferred_element_type=jnp.float32)
+    xw1 = xw1 + bias_ref[1].astype(jnp.float32)
+    h1_new = gru_gates_f32(xw1, hw1_s[:], h1.astype(jnp.float32), hidden)
+    h1_store = h1_new.astype(out_dtype)
+
+    # ReLU head + first-index argmax (see _decode_kernel)
+    logits = jnp.dot(h1_store, head_w_ref[:], preferred_element_type=jnp.float32)
+    logits = jax.nn.relu(logits + head_b_ref[0].astype(jnp.float32))
+    col = lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < vocab, logits, -1.0)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    sampled = jnp.min(
+        jnp.where(logits == row_max, col, vocab_pad), axis=-1
+    ).astype(jnp.int32)
+    onehot = (
+        sampled[:, None]
+        == lax.broadcasted_iota(jnp.int32, (sampled.shape[0], vocab_pad), 1)
+    ).astype(tok_tab_ref.dtype)
+    prev_xw_s[:] = jnp.dot(
+        onehot, tok_tab_ref[:], preferred_element_type=jnp.float32
+    ).astype(prev_xw_s.dtype)
+
+    # prepare step t+1: resolve the beat reset and issue its recurrent
+    # matmuls now — independent of the head/argmax/feedback tail above
+    next_reset = ((t + 1) % TICKS_PER_BEAT) == 0
+    h0_next = jnp.where(next_reset, hi0n_ref[0], h0_store)
+    h1_next = jnp.where(next_reset, hi1n_ref[0], h1_store)
+    h0_s[:] = h0_next
+    h1_s[:] = h1_next
+    hw0_s[:] = (
+        jnp.dot(h0_next, whh0_ref[:], preferred_element_type=jnp.float32)
+        + bias_ref[0].astype(jnp.float32)
+    )
+    hw1_s[:] = (
+        jnp.dot(h1_next, whh1_ref[:], preferred_element_type=jnp.float32)
+        + bias_ref[2].astype(jnp.float32)
+    )
+
+    logits_ref[0] = logits.astype(out_dtype)
+    samples_ref[0, 0] = sampled
+
+
 def decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int = 256,
-                           halves: int = 1, interpret: bool | None = None):
+                           halves: int = 1, pipelined: bool = False,
+                           interpret: bool | None = None):
     """Public entry: resolves the interpret-mode env hook OUTSIDE jit so
     the resolved bool is part of the compilation cache key."""
     if interpret is None:
         interpret = interpret_default()
     return _decode_sampling_pallas(params, tick_ctx, h_inits,
                                    tile_b=tile_b, halves=halves,
-                                   interpret=interpret)
+                                   pipelined=pipelined, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "halves", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "halves", "pipelined", "interpret")
+)
 def _decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int,
-                            halves: int, interpret: bool):
+                            halves: int, pipelined: bool, interpret: bool):
     """Fused argmax sampling decode of one measure per row.
 
     :param params: HierarchicalDecoder params (2 tick-GRU layers)
@@ -185,14 +274,252 @@ def _decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int,
     def beat_map(i, t):
         return (t // TICKS_PER_BEAT, i, 0)
 
+    def next_beat_map(i, t):
+        # beat of step t+1, clamped (the t=23 value is never used)
+        return (jnp.minimum((t + 1) // TICKS_PER_BEAT, num_beats - 1), i, 0)
+
+    beat_block = pl.BlockSpec((1, tile_b, hidden), beat_map,
+                              memory_space=pltpu.VMEM)
+    weight_specs = [
+        pl.BlockSpec((vocab_pad, three_h), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, three_h), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, three_h), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, vocab_pad), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, vocab_pad), const, memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((tile_b, hidden), dtype),
+        pltpu.VMEM((tile_b, hidden), dtype),
+        pltpu.VMEM((tile_b, three_h), dtype),
+    ]
+    weight_args = (tok_tab, x0_xw, p0["w_hh"], p1["w_ih"], p1["w_hh"],
+                   bias, head_w, head_b)
+    if pipelined:
+        kernel = functools.partial(
+            _decode_kernel_pipelined, hidden=hidden, vocab=vocab,
+            vocab_pad=vocab_pad, out_dtype=dtype,
+        )
+        in_specs = [
+            pl.BlockSpec((1, tile_b, three_h), beat_map,
+                         memory_space=pltpu.VMEM),
+            beat_block, beat_block,
+            pl.BlockSpec((1, tile_b, hidden), next_beat_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, hidden), next_beat_map,
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ]
+        args = (ctx_xw, hi0, hi1, hi0, hi1) + weight_args
+        scratch = scratch + [
+            pltpu.VMEM((tile_b, three_h), jnp.float32),
+            pltpu.VMEM((tile_b, three_h), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _decode_kernel, hidden=hidden, vocab=vocab, vocab_pad=vocab_pad,
+            out_dtype=dtype, halves=halves,
+        )
+        in_specs = [
+            pl.BlockSpec((1, tile_b, three_h), beat_map,
+                         memory_space=pltpu.VMEM),
+            beat_block, beat_block,
+            *weight_specs,
+        ]
+        args = (ctx_xw, hi0, hi1) + weight_args
+    logits_t, samples_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, tile_b, vocab_pad), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_b), lambda i, t: (t, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NUM_TICKS, padded_b, vocab_pad), dtype),
+            jax.ShapeDtypeStruct((NUM_TICKS, 1, padded_b), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+
+    logits = jnp.swapaxes(logits_t, 0, 1)[:batch, :, :vocab]
+    samples = jnp.swapaxes(samples_t[:, 0, :], 0, 1)[:batch]
+    return logits, samples
+
+
+# --------------------------------------------------------------------------- #
+# int8 serving variant
+# --------------------------------------------------------------------------- #
+# All five in-kernel contractions (hw0, xw1, hw1, head, token feedback) run
+# int8 x int8 -> int32 (see ops/quantize.py for the scheme and measured MXU
+# rates). Unlike the encoder, the tick-GRU hidden is NOT tanh-bounded: the
+# per-beat init hiddens are selu(linear) outputs (decoder.py:392-410), so
+# the hidden scale is data-dependent: bound = max(1, max|h_init|) computed
+# per call, h quantized at 127/bound (GRU updates are convex combinations
+# of a tanh candidate and h_prev, so the bound holds for every tick), and
+# bound/127 folded into the weight dequant scales. The quantization factor
+# reaches the kernel through SMEM.
+
+def _decode_kernel_int8(qscale_ref,
+                        ctx_xw_ref, hi0_ref, hi1_ref, tok_tab_ref, x0_xw_ref,
+                        whh0_ref, wih1_ref, whh1_ref, scales_ref, bias_ref,
+                        head_w_ref, head_s_ref, head_b_ref,
+                        logits_ref, samples_ref,
+                        h0_s, h1_s, prev_xw_s,
+                        *, hidden: int, vocab: int, vocab_pad: int, out_dtype):
+    t = pl.program_id(1)
+    q = qscale_ref[0]  # 127 / bound
+
+    @pl.when(t == 0)
+    def _():
+        prev_xw_s[:] = jnp.broadcast_to(x0_xw_ref[0], prev_xw_s.shape).astype(
+            prev_xw_s.dtype
+        )
+        h0_s[:] = jnp.zeros_like(h0_s)
+        h1_s[:] = jnp.zeros_like(h1_s)
+
+    reset = (t % TICKS_PER_BEAT) == 0
+    # hi blocks arrive pre-quantized at the same scale as the carry
+    h0_q = jnp.where(reset, hi0_ref[0], h0_s[:])
+    h1_q = jnp.where(reset, hi1_ref[0], h1_s[:])
+
+    # layer 0
+    xw0 = prev_xw_s[:].astype(jnp.float32) + ctx_xw_ref[0].astype(jnp.float32)
+    hw0 = (
+        jnp.dot(h0_q, whh0_ref[:], preferred_element_type=jnp.int32)
+        .astype(jnp.float32) * scales_ref[0]
+        + bias_ref[0].astype(jnp.float32)
+    )
+    h0 = h0_q.astype(jnp.float32) * (1.0 / q)
+    h0_new = gru_gates_f32(xw0, hw0, h0, hidden)
+    h0_new_q = jnp.clip(jnp.round(h0_new * q), -127, 127).astype(jnp.int8)
+
+    # layer 1
+    xw1 = (
+        jnp.dot(h0_new_q, wih1_ref[:], preferred_element_type=jnp.int32)
+        .astype(jnp.float32) * scales_ref[1]
+        + bias_ref[1].astype(jnp.float32)
+    )
+    hw1 = (
+        jnp.dot(h1_q, whh1_ref[:], preferred_element_type=jnp.int32)
+        .astype(jnp.float32) * scales_ref[2]
+        + bias_ref[2].astype(jnp.float32)
+    )
+    h1 = h1_q.astype(jnp.float32) * (1.0 / q)
+    h1_new = gru_gates_f32(xw1, hw1, h1, hidden)
+    h1_new_q = jnp.clip(jnp.round(h1_new * q), -127, 127).astype(jnp.int8)
+
+    # ReLU head + first-index argmax on the dequantized logits
+    logits = (
+        jnp.dot(h1_new_q, head_w_ref[:], preferred_element_type=jnp.int32)
+        .astype(jnp.float32) * head_s_ref[0]
+    )
+    logits = jax.nn.relu(logits + head_b_ref[0].astype(jnp.float32))
+    col = lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < vocab, logits, -1.0)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    sampled = jnp.min(
+        jnp.where(logits == row_max, col, vocab_pad), axis=-1
+    ).astype(jnp.int32)
+
+    onehot = (
+        sampled[:, None]
+        == lax.broadcasted_iota(jnp.int32, (sampled.shape[0], vocab_pad), 1)
+    ).astype(jnp.int8)
+    prev_xw_s[:] = (
+        jnp.dot(onehot, tok_tab_ref[:], preferred_element_type=jnp.int32)
+        .astype(jnp.float32) * scales_ref[3]
+    ).astype(prev_xw_s.dtype)
+
+    h0_s[:] = h0_new_q
+    h1_s[:] = h1_new_q
+    logits_ref[0] = logits.astype(out_dtype)
+    samples_ref[0, 0] = sampled
+
+
+def decode_sampling_pallas_int8(params, tick_ctx, h_inits, *,
+                                tile_b: int = 256,
+                                interpret: bool | None = None):
+    """int8 variant of :func:`decode_sampling_pallas` (opt-in serving)."""
+    if interpret is None:
+        interpret = interpret_default()
+    return _decode_sampling_pallas_int8(params, tick_ctx, h_inits,
+                                        tile_b=tile_b, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def _decode_sampling_pallas_int8(params, tick_ctx, h_inits, *, tile_b: int,
+                                 interpret: bool):
+    from inpaintnet_tpu.ops.quantize import quantize_cols_int8
+
+    p0, p1 = params["tick_gru"][0][0], params["tick_gru"][1][0]
+    batch, num_beats, hidden = tick_ctx.shape
+    three_h = 3 * hidden
+    dtype = p0["w_hh"].dtype
+    emb_table = params["embedding"]["table"]
+    vocab, E = emb_table.shape
+    vocab_pad = round_up(vocab, 128)
+
+    # data-dependent hidden bound (selu init hiddens are unbounded above)
+    bound = jnp.maximum(1.0, jnp.max(jnp.abs(h_inits.astype(jnp.float32))))
+    qscale = (127.0 / bound)[None]  # (1,) f32 -> SMEM
+    h_dq = bound / 127.0
+
+    tok_tab_f = emb_table.astype(jnp.float32) @ p0["w_ih"].astype(jnp.float32)[:E]
+    tok_tab_q, s_tok = quantize_cols_int8(tok_tab_f)
+    tok_tab_q = jnp.pad(tok_tab_q, ((0, vocab_pad - vocab), (0, 0)))
+    whh0q, s_whh0 = quantize_cols_int8(p0["w_hh"])
+    wih1q, s_wih1 = quantize_cols_int8(p1["w_ih"])
+    whh1q, s_whh1 = quantize_cols_int8(p1["w_hh"])
+    headq, s_head = quantize_cols_int8(params["head"]["w"])
+    headq = jnp.pad(headq, ((0, 0), (0, vocab_pad - vocab)))
+    head_s = jnp.pad(s_head[0] * h_dq, (0, vocab_pad - vocab))[None, :]
+    head_b = jnp.pad(params["head"]["b"], (0, vocab_pad - vocab))[None, :]
+    scales = jnp.stack([s_whh0[0] * h_dq, s_wih1[0] * h_dq,
+                        s_whh1[0] * h_dq, s_tok[0]])  # (4, 3H)
+
+    x0_xw = (params["x_0"] @ p0["w_ih"][:E])[None, :]
+    ctx_xw = jnp.swapaxes(tick_ctx @ p0["w_ih"][E:] + p0["b_ih"], 0, 1)
+    # pre-quantize the per-beat init hiddens at the carry's scale
+    def quant_h(x):
+        return jnp.clip(
+            jnp.round(x.astype(jnp.float32) * qscale[0]), -127, 127
+        ).astype(jnp.int8)
+
+    hi0 = quant_h(jnp.swapaxes(h_inits[0], 0, 1))  # (4, B, H) int8
+    hi1 = quant_h(jnp.swapaxes(h_inits[1], 0, 1))
+    bias = jnp.stack([p0["b_hh"], p1["b_ih"], p1["b_hh"]])
+
+    tile_b = min(tile_b, round_up(batch, 8))
+    padded_b = round_up(batch, tile_b)
+    if padded_b != batch:
+        pad = padded_b - batch
+        ctx_xw = jnp.pad(ctx_xw, ((0, 0), (0, pad), (0, 0)))
+        hi0 = jnp.pad(hi0, ((0, 0), (0, pad), (0, 0)))
+        hi1 = jnp.pad(hi1, ((0, 0), (0, pad), (0, 0)))
+    n_tiles = padded_b // tile_b
+    grid = (n_tiles, NUM_TICKS)
+
+    def const(i, t):
+        return (0, 0)
+
+    def beat_map(i, t):
+        return (t // TICKS_PER_BEAT, i, 0)
+
     kernel = functools.partial(
-        _decode_kernel, hidden=hidden, vocab=vocab, vocab_pad=vocab_pad,
-        out_dtype=dtype, halves=halves,
+        _decode_kernel_int8, hidden=hidden, vocab=vocab, vocab_pad=vocab_pad,
+        out_dtype=dtype,
     )
     logits_t, samples_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # qscale (1,)
             pl.BlockSpec((1, tile_b, three_h), beat_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_b, hidden), beat_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_b, hidden), beat_map, memory_space=pltpu.VMEM),
@@ -201,8 +528,10 @@ def _decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int,
             pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, three_h), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, three_h), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, vocab_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vocab_pad), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vocab_pad), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -216,13 +545,13 @@ def _decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int,
             jax.ShapeDtypeStruct((NUM_TICKS, 1, padded_b), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_b, hidden), dtype),
-            pltpu.VMEM((tile_b, hidden), dtype),
+            pltpu.VMEM((tile_b, hidden), jnp.int8),
+            pltpu.VMEM((tile_b, hidden), jnp.int8),
             pltpu.VMEM((tile_b, three_h), dtype),
         ],
         interpret=interpret,
-    )(ctx_xw, hi0, hi1, tok_tab, x0_xw, p0["w_hh"], p1["w_ih"], p1["w_hh"],
-      bias, head_w, head_b)
+    )(qscale, ctx_xw, hi0, hi1, tok_tab_q, x0_xw, whh0q, wih1q, whh1q,
+      scales, bias, headq, head_s, head_b)
 
     logits = jnp.swapaxes(logits_t, 0, 1)[:batch, :, :vocab]
     samples = jnp.swapaxes(samples_t[:, 0, :], 0, 1)[:batch]

@@ -266,3 +266,257 @@ def _encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int,
 
     h_n = jnp.stack([hn0f, hn0b, hn1f, hn1b], axis=0)
     return h_n[:, :batch]
+
+
+# --------------------------------------------------------------------------- #
+# int8 serving variant
+# --------------------------------------------------------------------------- #
+# Same grid-over-time structure, but every MXU contraction runs int8 x
+# int8 -> int32 (measured ~1.45x the bf16 MXU rate in-kernel on v5e;
+# the XLA-level int8 path was a wash — see ops/quantize.py). Weights are
+# per-output-channel quantized; recurrent hidden states are tanh-bounded
+# so they quantize at a FIXED scale of 127 with no calibration; the
+# interlayer ys slab is stored int8, halving its HBM traffic. Gate math
+# stays f32. Opt-in serving mode — the headline bench stays bf16.
+
+def _l0_kernel_int8(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
+                    whh_f_ref, whh_b_ref, scales_ref, bih_ref, bhh_ref,
+                    ysf_ref, ysb_ref, hnf_ref, hnb_ref,
+                    hf_scratch, hb_scratch, *, seq_len: int, hidden: int,
+                    vocab_pad: int, out_dtype):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        hf_scratch[:] = jnp.zeros_like(hf_scratch)
+        hb_scratch[:] = jnp.zeros_like(hb_scratch)
+
+    def direction(tok_ref, tab_ref, whh_ref, h_scratch, ys_ref, hn_ref, d):
+        tok = tok_ref[0, 0]  # (TILE_B,) int32
+        onehot = (
+            tok[:, None]
+            == lax.broadcasted_iota(jnp.int32, (tok.shape[0], vocab_pad), 1)
+        ).astype(jnp.int8)
+        # one-hot operand is exact; only the table's column scale applies
+        xw = (
+            jnp.dot(onehot, tab_ref[:], preferred_element_type=jnp.int32)
+            .astype(jnp.float32)
+            * scales_ref[2 * d]
+            + bih_ref[d].astype(jnp.float32)
+        )
+        h_q = h_scratch[:]
+        # dequant of h (1/127) folded into the weight scale row
+        hw = (
+            jnp.dot(h_q, whh_ref[:], preferred_element_type=jnp.int32)
+            .astype(jnp.float32)
+            * scales_ref[2 * d + 1]
+            + bhh_ref[d].astype(jnp.float32)
+        )
+        h = h_q.astype(jnp.float32) * (1.0 / 127.0)
+        h_new = gru_gates_f32(xw, hw, h, hidden)
+        h_store = jnp.clip(jnp.round(h_new * 127.0), -127, 127).astype(jnp.int8)
+        h_scratch[:] = h_store
+        ys_ref[0] = h_store
+
+        @pl.when(t == seq_len - 1)
+        def _():
+            hn_ref[:] = h_new.astype(out_dtype)
+
+    direction(tok_f_ref, tab_f_ref, whh_f_ref, hf_scratch, ysf_ref, hnf_ref, 0)
+    direction(tok_b_ref, tab_b_ref, whh_b_ref, hb_scratch, ysb_ref, hnb_ref, 1)
+
+
+def _l1_kernel_int8(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
+                    wih_f_ref, wih_b_ref, whh_f_ref, whh_b_ref,
+                    scales_ref, bih_ref, bhh_ref,
+                    hnf_ref, hnb_ref, hf_scratch, hb_scratch,
+                    *, seq_len: int, hidden: int, out_dtype):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        hf_scratch[:] = jnp.zeros_like(hf_scratch)
+        hb_scratch[:] = jnp.zeros_like(hb_scratch)
+
+    def direction(x1_ref, x2_ref, wih_ref, whh_ref, h_scratch, hn_ref, d):
+        x = jnp.concatenate([x1_ref[0], x2_ref[0]], axis=-1)  # int8 (TILE_B, 2H)
+        xw = (
+            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.int32)
+            .astype(jnp.float32)
+            * scales_ref[2 * d]
+            + bih_ref[d].astype(jnp.float32)
+        )
+        h_q = h_scratch[:]
+        hw = (
+            jnp.dot(h_q, whh_ref[:], preferred_element_type=jnp.int32)
+            .astype(jnp.float32)
+            * scales_ref[2 * d + 1]
+            + bhh_ref[d].astype(jnp.float32)
+        )
+        h = h_q.astype(jnp.float32) * (1.0 / 127.0)
+        h_new = gru_gates_f32(xw, hw, h, hidden)
+        h_scratch[:] = jnp.clip(jnp.round(h_new * 127.0), -127, 127).astype(
+            jnp.int8
+        )
+
+        @pl.when(t == seq_len - 1)
+        def _():
+            hn_ref[:] = h_new.astype(out_dtype)
+
+    direction(xf_f_ref, xb_f_ref, wih_f_ref, whh_f_ref, hf_scratch, hnf_ref, 0)
+    direction(xf_b_ref, xb_b_ref, wih_b_ref, whh_b_ref, hb_scratch, hnb_ref, 1)
+
+
+def encoder_hn_pallas_int8(gru_params, emb_table, tokens, *,
+                           tile_b: int = 256, out_dtype=None,
+                           interpret: bool | None = None):
+    """int8 variant of :func:`encoder_hn_pallas` (opt-in serving mode).
+
+    Weights are quantized per call (cheap vs the contraction work; cache
+    upstream if needed). Returns h_n (4, B, H) in ``out_dtype``
+    (default: the weights' dtype).
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    return _encoder_hn_pallas_int8(gru_params, emb_table, tokens,
+                                   tile_b=tile_b, out_dtype=out_dtype,
+                                   interpret=interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "out_dtype", "interpret")
+)
+def _encoder_hn_pallas_int8(gru_params, emb_table, tokens, *, tile_b: int,
+                            out_dtype, interpret: bool):
+    from inpaintnet_tpu.ops.quantize import quantize_cols_int8
+
+    batch, seq_len = tokens.shape
+    p0f, p0b = gru_params[0][0], gru_params[0][1]
+    p1f, p1b = gru_params[1][0], gru_params[1][1]
+    hidden = p0f["w_hh"].shape[0]
+    dtype = jnp.dtype(out_dtype) if out_dtype is not None else p0f["w_hh"].dtype
+    vocab = emb_table.shape[0]
+    # int8 VMEM tiles are (32, 128): pad the one-hot contraction to 128
+    vocab_pad = round_up(vocab, 128)
+    h_dq = jnp.float32(1.0 / 127.0)
+
+    def fused_q(p):
+        tab = emb_table.astype(jnp.float32) @ p["w_ih"].astype(jnp.float32)
+        q, s = quantize_cols_int8(tab)
+        return jnp.pad(q, ((0, vocab_pad - vocab), (0, 0))), s[0]
+
+    tab_f, s_tab_f = fused_q(p0f)
+    tab_b, s_tab_b = fused_q(p0b)
+    whh0f, s_whh0f = quantize_cols_int8(p0f["w_hh"])
+    whh0b, s_whh0b = quantize_cols_int8(p0b["w_hh"])
+    # h dequant folded into the recurrent scales
+    scales0 = jnp.stack([s_tab_f, s_whh0f[0] * h_dq,
+                         s_tab_b, s_whh0b[0] * h_dq])  # (4, 3H) f32
+    wih1f, s_wih1f = quantize_cols_int8(p1f["w_ih"])
+    wih1b, s_wih1b = quantize_cols_int8(p1b["w_ih"])
+    whh1f, s_whh1f = quantize_cols_int8(p1f["w_hh"])
+    whh1b, s_whh1b = quantize_cols_int8(p1b["w_hh"])
+    scales1 = jnp.stack([s_wih1f[0] * h_dq, s_whh1f[0] * h_dq,
+                         s_wih1b[0] * h_dq, s_whh1b[0] * h_dq])
+
+    tile_b = min(tile_b, round_up(batch, 8))
+    padded_b = round_up(batch, tile_b)
+    if padded_b != batch:
+        tokens = jnp.pad(tokens, ((0, padded_b - batch), (0, 0)))
+    tok_t = jnp.swapaxes(tokens, 0, 1).astype(jnp.int32)[:, None, :]
+    n_tiles = padded_b // tile_b
+    grid = (n_tiles, seq_len)
+    three_h = 3 * hidden
+
+    def const(i, t):
+        return (0, 0)
+
+    bih01 = jnp.stack([p0f["b_ih"], p0b["b_ih"]])
+    bhh01 = jnp.stack([p0f["b_hh"], p0b["b_hh"]])
+
+    l0 = functools.partial(
+        _l0_kernel_int8, seq_len=seq_len, hidden=hidden, vocab_pad=vocab_pad,
+        out_dtype=dtype,
+    )
+    ysf, ysb, hn0f, hn0b = pl.pallas_call(
+        l0,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, tile_b), lambda i, t: (t, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_b), lambda i, t: (seq_len - 1 - t, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vocab_pad, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((vocab_pad, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_b, hidden), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, hidden), lambda i, t: (seq_len - 1 - t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, padded_b, hidden), jnp.int8),
+            jax.ShapeDtypeStruct((seq_len, padded_b, hidden), jnp.int8),
+            jax.ShapeDtypeStruct((padded_b, hidden), dtype),
+            jax.ShapeDtypeStruct((padded_b, hidden), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, hidden), jnp.int8),
+            pltpu.VMEM((tile_b, hidden), jnp.int8),
+        ],
+        interpret=interpret,
+    )(tok_t, tok_t, tab_f, tab_b, whh0f, whh0b, scales0, bih01, bhh01)
+
+    bih11 = jnp.stack([p1f["b_ih"], p1b["b_ih"]])
+    bhh11 = jnp.stack([p1f["b_hh"], p1b["b_hh"]])
+    l1 = functools.partial(
+        _l1_kernel_int8, seq_len=seq_len, hidden=hidden, out_dtype=dtype,
+    )
+    ys_spec_fwd = pl.BlockSpec((1, tile_b, hidden), lambda i, t: (t, i, 0),
+                               memory_space=pltpu.VMEM)
+    ys_spec_bwd = pl.BlockSpec(
+        (1, tile_b, hidden), lambda i, t: (seq_len - 1 - t, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    hn1f, hn1b = pl.pallas_call(
+        l1,
+        grid=grid,
+        in_specs=[
+            ys_spec_fwd, ys_spec_fwd, ys_spec_bwd, ys_spec_bwd,
+            pl.BlockSpec((2 * hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, three_h), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_b, hidden), dtype),
+            jax.ShapeDtypeStruct((padded_b, hidden), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, hidden), jnp.int8),
+            pltpu.VMEM((tile_b, hidden), jnp.int8),
+        ],
+        interpret=interpret,
+    )(ysf, ysb, ysf, ysb, wih1f, wih1b, whh1f, whh1b, scales1, bih11, bhh11)
+
+    h_n = jnp.stack([hn0f, hn0b, hn1f, hn1b], axis=0)
+    return h_n[:, :batch]

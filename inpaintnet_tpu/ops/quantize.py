@@ -1,0 +1,57 @@
+"""int8 serving quantization for the Pallas RNN kernels.
+
+The v5e MXU runs int8 x int8 -> int32 at ~1.45-2x its bf16 rate *inside a
+Pallas kernel* (measured 169 vs 117 T(FL)OP/s on resident operands; the
+XLA-level int8 path measured only 1.06x — docs/PERFORMANCE.md "Negative
+results"). The serving encoder/decode are matmul-floor-bound, so an int8
+path is the one remaining large lever.
+
+Scheme (symmetric, per-output-channel):
+- weights: ``scale[col] = max|w[:, col]| / 127``, ``q = round(w / scale)``
+  (int8); the int32 dot product is dequantized by ``scale`` in f32.
+- recurrent hidden states: GRU outputs are a convex combination of a
+  ``tanh`` candidate and the previous state with ``h_0 = 0``, so
+  ``|h| < 1`` ALWAYS — a fixed scale of 127 is exact-range with no
+  calibration: ``q_h = round(h * 127)``, dequant folds ``1/127`` into the
+  weight scale.
+- one-hot matmul operands (token tables) are exact in int8 (values 0/1);
+  only the weight scale applies.
+- gate math stays f32 (pallas_common.gru_gates_f32) — only the MXU
+  contractions are quantized.
+
+Quality: int8 is an OPT-IN serving mode (like bf16); the headline bench
+stays bf16. Measured impact on trained weights is recorded in
+docs/PERFORMANCE.md.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# fixed scale for tanh-bounded recurrent states (|h| < 1)
+H_SCALE = 127.0
+
+
+def quantize_cols_int8(w):
+    """Per-output-channel symmetric int8 quantization of a (K, N) matrix.
+
+    :return: (q int8 (K, N), scale f32 (1, N)) with ``w ~= q * scale``
+    """
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale
+
+
+def quantize_h_int8(h):
+    """Quantize a tanh-bounded activation to int8 at the fixed H_SCALE."""
+    return (
+        jnp.clip(jnp.round(h.astype(jnp.float32) * H_SCALE), -127, 127)
+        .astype(jnp.int8)
+    )
+
+
+def dequantize_h(q):
+    """Inverse of :func:`quantize_h_int8` (f32)."""
+    return q.astype(jnp.float32) * (1.0 / H_SCALE)

@@ -122,3 +122,63 @@ def test_latent_rnn_training_grad_with_kernel_gates_on(monkeypatch):
     g = jax.grad(loss)(m.params)
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_quantize_cols_int8_roundtrip():
+    """Per-channel quantization error bounded by scale/2 elementwise."""
+    from inpaintnet_tpu.ops.quantize import quantize_cols_int8
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (64, 96)) * 0.3
+    q, s = quantize_cols_int8(w)
+    assert q.dtype == jnp.int8 and s.shape == (1, 96)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(w))
+    assert (err <= np.asarray(s) / 2 + 1e-7).all()
+    # columns hit the full int8 range (scale derived from the column max)
+    assert int(np.abs(np.asarray(q)).max()) == 127
+
+
+def test_encoder_int8_close_to_f32(monkeypatch):
+    """int8 kernel (interpret mode) tracks the f32 scan within ~2%
+    relative error — the int8 serving mode's accuracy envelope."""
+    from inpaintnet_tpu.ops.encoder_pallas import encoder_hn_pallas_int8
+
+    E, T, H, V, B = 10, 24, 32, 30, 20
+    params = gru_init(jax.random.PRNGKey(0), E, H, 2, True)
+    table = jax.random.normal(jax.random.PRNGKey(1), (V, E))
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, V)
+    emb = jnp.take(table, tokens, axis=0)
+    _, h_ref = gru_apply(params, emb)
+    h_q = encoder_hn_pallas_int8(params, table, tokens, tile_b=8,
+                                 interpret=True)
+    h_ref, h_q = np.asarray(h_ref), np.asarray(h_q, np.float32)
+    rel = np.linalg.norm(h_q - h_ref) / np.linalg.norm(h_ref)
+    assert rel < 0.02, rel
+    cos = (h_q * h_ref).sum() / (
+        np.linalg.norm(h_q) * np.linalg.norm(h_ref)
+    )
+    assert cos > 0.999
+
+
+def test_encoder_int8_model_route(monkeypatch):
+    """INPAINTNET_SERVE_QUANT=int8 routes Encoder.apply through the int8
+    kernel when the pallas gate is open (interpret mode on CPU)."""
+    from inpaintnet_tpu.models.measure_vae import Encoder
+
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("INPAINTNET_SERVE_QUANT", "int8")
+    enc = Encoder(
+        note_embedding_dim=8, rnn_hidden_size=16, num_layers=2,
+        num_notes=30, dropout=0.0, bidirectional=True, z_dim=12,
+    )
+    params = enc.init_params(jax.random.PRNGKey(0))
+    monkeypatch.setattr(type(enc), "_use_pallas", lambda self, p: True)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (6, 24), 0, 30)
+    d_q = enc.apply(params, tokens, train=False)
+    monkeypatch.setenv("INPAINTNET_SERVE_QUANT", "none")
+    monkeypatch.setattr(type(enc), "_use_pallas", lambda self, p: False)
+    d_ref = enc.apply(params, tokens, train=False)
+    # int8 differs from f32 but only slightly
+    loc_q, loc_r = np.asarray(d_q.loc), np.asarray(d_ref.loc)
+    assert not np.array_equal(loc_q, loc_r)  # the quantized route ran
+    rel = np.linalg.norm(loc_q - loc_r) / np.linalg.norm(loc_r)
+    assert rel < 0.05, rel

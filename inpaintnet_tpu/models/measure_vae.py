@@ -119,20 +119,20 @@ class Encoder:
         """:param score_tensor: (B, T) int tokens -> DiagNormal over z."""
         batch = score_tensor.shape[0]
         if not train and self._use_pallas(params):
-            import os
-
             from inpaintnet_tpu.ops.encoder_pallas import (
                 encoder_hn_pallas,
                 encoder_hn_pallas_int8,
             )
             from inpaintnet_tpu.ops.pallas_common import kernel_with_xla_grad
+            from inpaintnet_tpu.ops.quantize import serve_quant_mode
 
-            # INPAINTNET_SERVE_QUANT=int8: per-channel int8 weights +
-            # int8 recurrent states on the MXU's int8 path (~1.37x the
-            # bf16 kernel at serving shapes; ~1% relative h_n error —
-            # see ops/quantize.py). Opt-in; resolved at trace time like
-            # INPAINTNET_ENCODER_IMPL.
-            if os.environ.get("INPAINTNET_SERVE_QUANT", "none") == "int8":
+            # serve_quant int8 (INPAINTNET_SERVE_QUANT env or the
+            # ops.quantize.serving_quant scope): per-channel int8 weights
+            # + int8 recurrent states on the MXU's int8 path (~1.37x the
+            # bf16 kernel at serving shapes; quality-neutral on trained
+            # weights — see ops/quantize.py and docs/PERFORMANCE.md).
+            # Resolved at trace time like INPAINTNET_ENCODER_IMPL.
+            if serve_quant_mode() == "int8":
                 kernel = lambda gp, tab, tok: encoder_hn_pallas_int8(  # noqa: E731
                     gp, tab, tok
                 )
@@ -338,17 +338,16 @@ class HierarchicalDecoder:
         ).reshape(self.num_layers, batch, NUM_BEATS_PER_MEASURE, -1)
 
         if score_tensor is None and not train and self._use_pallas_decode(params):
-            import os
-
             from inpaintnet_tpu.ops.decode_pallas import (
                 decode_sampling_pallas,
                 decode_sampling_pallas_int8,
             )
             from inpaintnet_tpu.ops.pallas_common import kernel_with_xla_grad
+            from inpaintnet_tpu.ops.quantize import serve_quant_mode
 
-            # INPAINTNET_SERVE_QUANT=int8: quantized decode (see the
-            # encoder route above and ops/quantize.py)
-            if os.environ.get("INPAINTNET_SERVE_QUANT", "none") == "int8":
+            # serve_quant int8: quantized decode (see the encoder route
+            # above and ops/quantize.py)
+            if serve_quant_mode() == "int8":
                 kernel = lambda p, c, h: decode_sampling_pallas_int8(p, c, h)  # noqa: E731
             else:
                 kernel = lambda p, c, h: decode_sampling_pallas(p, c, h)  # noqa: E731

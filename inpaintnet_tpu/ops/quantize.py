@@ -25,10 +25,41 @@ docs/PERFORMANCE.md.
 """
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 import jax.numpy as jnp
 
 # fixed scale for tanh-bounded recurrent states (|h| < 1)
 H_SCALE = 127.0
+
+# library-level override of the INPAINTNET_SERVE_QUANT env hook, so
+# callers like serve.InpaintingEngine(dtype="int8") can request the
+# quantized route without mutating process-global environment. Read at
+# TRACE time by the model kernel gates.
+_SERVE_QUANT_OVERRIDE: str | None = None
+
+
+def serve_quant_mode() -> str:
+    """The active serving quantization mode: "int8" or "none"."""
+    if _SERVE_QUANT_OVERRIDE is not None:
+        return _SERVE_QUANT_OVERRIDE
+    return os.environ.get("INPAINTNET_SERVE_QUANT", "none")
+
+
+@contextmanager
+def serving_quant(mode: str | None):
+    """Scoped serve-quant override (``None`` defers to the env hook).
+
+    Wrap the region where a jitted serving function is TRACED (its first
+    call) — the kernel gates read the mode at trace time."""
+    global _SERVE_QUANT_OVERRIDE
+    prev = _SERVE_QUANT_OVERRIDE
+    _SERVE_QUANT_OVERRIDE = mode
+    try:
+        yield
+    finally:
+        _SERVE_QUANT_OVERRIDE = prev
 
 
 def quantize_cols_int8(w):

@@ -31,12 +31,20 @@ class InpaintingEngine:
         n_bars: int = 16,
         seed: int = 0,
     ):
+        """:param dtype: serving numeric — "float32", "bfloat16" (default),
+        or "int8" (bf16 master params + the quantized kernel route;
+        measured quality-neutral on trained weights, docs/PERFORMANCE.md
+        "int8 serving")."""
         self.model = model
         self.n_bars = n_bars
         self.max_target = model.max_target
         self.msl = model.measure_seq_len
         self.batch_buckets = sorted(batch_buckets)
         self.seed = seed
+        # int8 quantizes inside the kernels from bf16 masters
+        self._quant = "int8" if dtype == "int8" else None
+        if dtype == "int8":
+            dtype = "bfloat16"
         params = model.params
         vae_params = model.vae_model.params
         if dtype and dtype != "float32":
@@ -48,14 +56,20 @@ class InpaintingEngine:
 
     # ------------------------------------------------------------------ #
     def _fn(self):
+        from inpaintnet_tpu.ops.quantize import serving_quant
+
         model = self.model
+        quant = self._quant
 
         def fn(params, vae_params, past, pm, future, fm, tm, key):
-            _, samples, _ = model.apply(
-                params, vae_params, past, future, None,
-                past_mask=pm, future_mask=fm, target_mask=tm,
-                train=False, rng=key,
-            )
+            # the serving_quant scope is active while jit TRACES this
+            # body, which is when the model's kernel gates read the mode
+            with serving_quant(quant):
+                _, samples, _ = model.apply(
+                    params, vae_params, past, future, None,
+                    past_mask=pm, future_mask=fm, target_mask=tm,
+                    train=False, rng=key,
+                )
             return samples
 
         return fn
@@ -155,16 +169,23 @@ class InpaintingEngine:
 
         model = self.model
         if "enc_dists" not in self._compiled:
-            self._compiled["enc_dists"] = jax.jit(
-                lambda vp, p_ctx, f_ctx: model.encode_context_dists(vp, p_ctx, f_ctx)
-            )
-            self._compiled["gen_dists"] = jax.jit(
-                lambda p, vp, pd, fd, pm, fm, tm, key:
-                model.generate_from_context_dists(
-                    p, vp, pd, fd, past_mask=pm, future_mask=fm,
-                    target_mask=tm, rng=key,
-                )[1]
-            )
+            from inpaintnet_tpu.ops.quantize import serving_quant
+
+            quant = self._quant
+
+            def enc_dists(vp, p_ctx, f_ctx):
+                with serving_quant(quant):
+                    return model.encode_context_dists(vp, p_ctx, f_ctx)
+
+            def gen_dists(p, vp, pd, fd, pm, fm, tm, key):
+                with serving_quant(quant):
+                    return model.generate_from_context_dists(
+                        p, vp, pd, fd, past_mask=pm, future_mask=fm,
+                        target_mask=tm, rng=key,
+                    )[1]
+
+            self._compiled["enc_dists"] = jax.jit(enc_dists)
+            self._compiled["gen_dists"] = jax.jit(gen_dists)
         pd, fd = self._compiled["enc_dists"](self._vae_params, past, future)
         base = jax.random.PRNGKey(self.seed if seed is None else seed)
         keys = list(np.asarray(jax.random.split(base, num_variations)))

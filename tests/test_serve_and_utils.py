@@ -164,3 +164,59 @@ def test_generate_from_context_dists_matches_apply_distribution():
             m_ar.params, vae.params, pd, fd, past_mask=pm, future_mask=fm,
             target_mask=tm, rng=jax.random.PRNGKey(7),
         )
+
+
+def test_engine_int8_dtype(monkeypatch):
+    """dtype="int8" routes the engine through the quantized kernels
+    (interpret mode on CPU) and produces valid, near-f32 output."""
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    from inpaintnet_tpu.models import measure_vae as mv
+
+    vae = MeasureVAE(
+        _FakeDataset(V), note_embedding_dim=8, num_encoder_layers=2,
+        encoder_hidden_size=16, latent_space_dim=12, num_decoder_layers=2,
+        decoder_hidden_size=16, encoder_dropout_prob=0.0,
+        decoder_dropout_prob=0.0,
+    )
+    vae.init(jax.random.PRNGKey(0))
+    m = LatentRNN(_FakeDataset(V), vae, num_rnn_layers=2, rnn_hidden_size=16,
+                  dropout=0.0, auto_reg=False)
+    m.init(jax.random.PRNGKey(1))
+    # open the kernel gates on the CPU test backend
+    monkeypatch.setattr(mv.Encoder, "_use_pallas", lambda self, p: True)
+    monkeypatch.setattr(
+        mv.HierarchicalDecoder, "_use_pallas_decode", lambda self, p: True
+    )
+    # spy: the quantized kernels must actually be traced
+    from inpaintnet_tpu.ops import decode_pallas as dp_mod
+    from inpaintnet_tpu.ops import encoder_pallas as ep_mod
+
+    called = set()
+    orig_enc, orig_dec = (ep_mod.encoder_hn_pallas_int8,
+                          dp_mod.decode_sampling_pallas_int8)
+    monkeypatch.setattr(
+        ep_mod, "encoder_hn_pallas_int8",
+        lambda *a, **k: called.add("enc") or orig_enc(*a, **k),
+    )
+    monkeypatch.setattr(
+        dp_mod, "decode_sampling_pallas_int8",
+        lambda *a, **k: called.add("dec") or orig_dec(*a, **k),
+    )
+    eng_q = InpaintingEngine(m, batch_buckets=(2,), dtype="int8")
+    tokens = np.random.RandomState(3).randint(0, V, (2, 16, 24)).astype(np.int32)
+    out_q = eng_q.inpaint(tokens, start_measure=8, num_measures=2, seed=5)
+    assert called == {"enc", "dec"}
+    # context untouched, tokens valid, deterministic per seed
+    np.testing.assert_array_equal(out_q[:, :8], tokens[:, :8])
+    assert out_q.min() >= 0 and out_q.max() < V
+    np.testing.assert_array_equal(
+        out_q, eng_q.inpaint(tokens, start_measure=8, num_measures=2, seed=5)
+    )
+    # the engine-level serving_quant scope must not leak process-wide
+    from inpaintnet_tpu.ops.quantize import serve_quant_mode
+
+    assert serve_quant_mode() == "none"
+    # NOTE: cross-config token agreement is only meaningful on TRAINED
+    # weights (random-init logits are near-flat, so any numeric change
+    # flips most argmax ties) — benchmarks/quality_check.py measures it
+    # at 97% with accuracy identical to f32.

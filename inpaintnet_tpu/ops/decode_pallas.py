@@ -443,7 +443,7 @@ def _decode_kernel_int8(qscale_ref,
 
 
 def decode_sampling_pallas_int8(params, tick_ctx, h_inits, *,
-                                tile_b: int = 256,
+                                tile_b: int = 512,
                                 interpret: bool | None = None):
     """int8 variant of :func:`decode_sampling_pallas` (opt-in serving)."""
     if interpret is None:

@@ -368,7 +368,7 @@ def _l1_kernel_int8(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
 
 
 def encoder_hn_pallas_int8(gru_params, emb_table, tokens, *,
-                           tile_b: int = 256, out_dtype=None,
+                           tile_b: int = 512, out_dtype=None,
                            interpret: bool | None = None):
     """int8 variant of :func:`encoder_hn_pallas` (opt-in serving mode).
 

@@ -66,7 +66,9 @@ def _gru_stream_kernel(xw_ref, w_hh_ref, b_hh_ref, h0_ref, mask_ref,
         + b_hh_ref[0].astype(jnp.float32)
     )
     h_new = gru_gates_f32(xwt, hw, h.astype(jnp.float32), hidden)
-    m = mask_ref[0, 0]  # (tile_b,)
+    # minor-dim insertion on sub-32-bit vectors fails to lower (Mosaic
+    # "not a no-op only supported for 32-bit types") — broadcast in f32
+    m = mask_ref[0, 0].astype(jnp.float32)  # (tile_b,)
     h_new = jnp.where(m[:, None] > 0, h_new.astype(out_dtype), h)
     h_scratch[:] = h_new
     if write_ys:

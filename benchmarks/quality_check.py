@@ -29,10 +29,25 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("INPAINTNET_FORCE_CPU"):
+    # must precede backend init; the hosting TPU plugin overrides the
+    # JAX_PLATFORMS env var (see cli/common.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 WORKDIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/inpaintnet_quality"
 
+# All knobs env-overridable so the harness can smoke-run tiny on CPU
+# (tests/test_cli_pipeline.py) as well as flagship on the chip.
 VAE_EPOCHS = int(os.environ.get("QC_VAE_EPOCHS", "25"))
 RNN_EPOCHS = int(os.environ.get("QC_RNN_EPOCHS", "6"))
+HIDDEN = int(os.environ.get("QC_HIDDEN", "512"))
+Z_DIM = int(os.environ.get("QC_Z", "256"))
+NUM_TUNES = int(os.environ.get("QC_TUNES", "200"))
+EVAL_BATCH = int(os.environ.get("QC_EVAL_BATCH", "512"))
+VAE_BATCH = int(os.environ.get("QC_VAE_BATCH", "256"))
+RNN_BATCH = int(os.environ.get("QC_RNN_BATCH", "32"))
 
 
 def build_dataset():
@@ -43,7 +58,7 @@ def build_dataset():
     cache = os.path.join(WORKDIR, "cache")
     if not os.path.isdir(corpus):
         os.makedirs(corpus, exist_ok=True)
-        generate_corpus(corpus, num_tunes=200, num_bars=16, seed=7)
+        generate_corpus(corpus, num_tunes=NUM_TUNES, num_bars=16, seed=7)
     mgr = DatasetManager(cache_dir=cache, corpus_dir=corpus)
     metadatas = [BeatMarkerMetadata(6), TickMetadata(6)]
     ds = mgr.get_dataset(
@@ -60,13 +75,14 @@ def build_models(ds, ckpt_dir):
 
     vae = MeasureVAE(
         dataset=ds, note_embedding_dim=10, num_encoder_layers=2,
-        encoder_hidden_size=512, encoder_dropout_prob=0.5,
-        latent_space_dim=256, num_decoder_layers=2, decoder_hidden_size=512,
-        decoder_dropout_prob=0.5, checkpoint_dir=ckpt_dir,
+        encoder_hidden_size=HIDDEN, encoder_dropout_prob=0.5,
+        latent_space_dim=Z_DIM, num_decoder_layers=2,
+        decoder_hidden_size=HIDDEN, decoder_dropout_prob=0.5,
+        checkpoint_dir=ckpt_dir,
     )
     vae.init(jax.random.PRNGKey(0))
     model = LatentRNN(
-        dataset=ds, vae_model=vae, num_rnn_layers=2, rnn_hidden_size=512,
+        dataset=ds, vae_model=vae, num_rnn_layers=2, rnn_hidden_size=HIDDEN,
         dropout=0.5, auto_reg=False, teacher_forcing=True,
         checkpoint_dir=ckpt_dir,
     )
@@ -84,11 +100,11 @@ def train_if_needed(ds, vae, model):
         return
     t0 = time.time()
     vt = VAETrainer(ds, vae, lr=1e-4, compute_dtype="bfloat16")
-    vt.train_model(batch_size=256, num_epochs=VAE_EPOCHS, log=False)
+    vt.train_model(batch_size=VAE_BATCH, num_epochs=VAE_EPOCHS, log=False)
     print(f"VAE trained in {time.time() - t0:.0f}s")
     t0 = time.time()
     rt = LatentRNNTrainer(ds, model, lr=1e-4, compute_dtype="bfloat16")
-    rt.train_model(batch_size=32, num_epochs=RNN_EPOCHS, log=False)
+    rt.train_model(batch_size=RNN_BATCH, num_epochs=RNN_EPOCHS, log=False)
     print(f"LatentRNN trained in {time.time() - t0:.0f}s")
 
 
@@ -144,11 +160,16 @@ def main():
     os.makedirs(ckpt_dir, exist_ok=True)
     vae, model = build_models(ds, ckpt_dir)
     train_if_needed(ds, vae, model)
+    # trainers leave params sharded over THEIR mesh (which may have been
+    # shrunk to fit the batch); normalize to host arrays so the eval jits
+    # place everything consistently
+    vae.params = jax.device_get(vae.params)
+    model.params = jax.device_get(model.params)
 
     # held-out eval batch, fixed reference listening-test split (6/4/6)
     from inpaintnet_tpu.train.latent_rnn_trainer import pack_padded, split_score
 
-    _, _, test_loader = ds.data_loaders(batch_size=512, split=(0.7, 0.2))
+    _, _, test_loader = ds.data_loaders(batch_size=EVAL_BATCH, split=(0.7, 0.2))
     batch = next(iter(test_loader))
     score = np.asarray(batch[0])
     past, future, target = split_score(score, 6, 6, 4, model.measure_seq_len)

@@ -81,6 +81,15 @@ class InpaintingEngine:
             self._compiled[bucket] = jax.jit(self._fn())
         return bucket, self._compiled[bucket]
 
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile (and run once) the inpaint program for the given
+        buckets (default: all) so the first real request doesn't pay the
+        compile. Runs a dummy 1-measure inpaint per bucket and blocks
+        until the result is on the host."""
+        for bucket in (buckets if buckets is not None else self.batch_buckets):
+            tokens = np.zeros((bucket, self.n_bars, self.msl), np.int32)
+            self.inpaint(tokens, start_measure=1, num_measures=1, seed=0)
+
     def _pack_request(self, tokens: np.ndarray, start_measure: int,
                       num_measures: int, bucket: int):
         """Validate + pad a request into the static (bucket, n_bars, msl)

@@ -139,3 +139,38 @@ def test_arnn_and_joint_eval(workdir):
     assert len(abcs) >= 2  # original + latent_rnn ABC exports
     suffixes = {m.rsplit("_", 1)[-1] for m in mids}
     assert {"original.mid", "baseline.mid", "reg.mid"} <= suffixes or len(mids) >= 8
+
+
+def test_quality_check_harness_smoke(tmp_path):
+    """benchmarks/quality_check.py end-to-end at tiny dims on CPU: trains
+    both models, evaluates every serving config, prints the table (kernel
+    routes gate off on CPU — the kernels have their own parity tests)."""
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        QC_VAE_EPOCHS="1", QC_RNN_EPOCHS="1", QC_HIDDEN="16", QC_Z="12",
+        QC_TUNES="8", QC_EVAL_BATCH="8", QC_VAE_BATCH="8", QC_RNN_BATCH="4",
+        INPAINTNET_FORCE_CPU="1",
+    )
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                      "quality_check.py"),
+         str(tmp_path / "qc")],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("inpaint accuracy") == 3, out.stdout
+    assert "token agreement vs f32" in out.stdout
+    # second run reuses the cached checkpoints
+    out2 = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                      "quality_check.py"),
+         str(tmp_path / "qc")],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "loaded cached checkpoints" in out2.stdout

@@ -220,3 +220,15 @@ def test_engine_int8_dtype(monkeypatch):
     # weights (random-init logits are near-flat, so any numeric change
     # flips most argmax ties) — benchmarks/quality_check.py measures it
     # at 97% with accuracy identical to f32.
+
+
+def test_engine_warmup_precompiles_buckets(engine):
+    """warmup() compiles every bucket ahead of the first real request."""
+    eng = InpaintingEngine(engine.model, batch_buckets=(1, 4), dtype="float32")
+    assert eng._compiled == {}
+    eng.warmup()
+    assert sorted(k for k in eng._compiled if isinstance(k, int)) == [1, 4]
+    # a subsequent request reuses the compiled bucket
+    tokens = np.random.RandomState(5).randint(0, V, (3, 16, 24)).astype(np.int32)
+    out = eng.inpaint(tokens, start_measure=4, num_measures=2, seed=1)
+    assert out.shape == tokens.shape

@@ -16,8 +16,10 @@ takes effect):
 
 Metrics: generated-target token accuracy vs ground truth, and token
 agreement vs the ``xla-f32`` decode (how much the numeric changes the
-actual argmax decisions). Training state is cached in the workdir; delete
-it to retrain.
+actual argmax decisions). The AnticipationRNN baseline family is
+evaluated the same way (fixed 6/4/6 constraint span, f32 scan vs the
+fused bf16 kernel). Training state is cached in the workdir; delete it
+to retrain.
 """
 from __future__ import annotations
 
@@ -48,6 +50,8 @@ NUM_TUNES = int(os.environ.get("QC_TUNES", "200"))
 EVAL_BATCH = int(os.environ.get("QC_EVAL_BATCH", "512"))
 VAE_BATCH = int(os.environ.get("QC_VAE_BATCH", "256"))
 RNN_BATCH = int(os.environ.get("QC_RNN_BATCH", "32"))
+ARNN_EPOCHS = int(os.environ.get("QC_ARNN_EPOCHS", "3"))
+ARNN_HIDDEN = int(os.environ.get("QC_ARNN_HIDDEN", "256"))
 
 
 def build_dataset():
@@ -88,6 +92,63 @@ def build_models(ds, ckpt_dir):
     )
     model.init(jax.random.PRNGKey(1))
     return vae, model
+
+
+def build_arnn(ds, ckpt_dir, cls):
+    import jax
+
+    m = cls(
+        dataset=ds, note_embedding_dim=10, metadata_embedding_dim=2,
+        num_lstm_constraints_units=ARNN_HIDDEN,
+        num_lstm_generation_units=ARNN_HIDDEN,
+        linear_hidden_size=ARNN_HIDDEN, num_layers=2,
+        unary_constraint=True, checkpoint_dir=ckpt_dir,
+    )
+    m.init(jax.random.PRNGKey(4))
+    return m
+
+
+def train_arnn_if_needed(ds, model, trainer_cls):
+    if os.path.exists(model.filepath):
+        model.load()
+        return
+    t0 = time.time()
+    tr = trainer_cls(ds, model, lr=1e-4, compute_dtype="bfloat16")
+    tr.train_model(batch_size=RNN_BATCH, num_epochs=ARNN_EPOCHS, log=False)
+    print(f"{type(model).__name__} trained in {time.time() - t0:.0f}s")
+
+
+def eval_arnn_config(model, score, md, loc, dtype, env=None):
+    """Masked-span generation accuracy under one ARNN serving config."""
+    import jax
+    import jax.numpy as jnp
+
+    from inpaintnet_tpu.models.base import cast_pytree
+    from inpaintnet_tpu.utils.timing import fetch
+
+    saved = {}
+    env = env or {}
+    for k, v in env.items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        params = model.params
+        if dtype != "float32":
+            params = cast_pytree(params, jnp.dtype(dtype))
+
+        def fn(params, score, md, loc, key):
+            _, gen = model.apply_inpaint(params, score, md, loc, rng=key)
+            return gen
+
+        out = jax.jit(fn)(params, score, md, loc, jax.random.PRNGKey(42))
+        fetch(out)
+        return np.asarray(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def train_if_needed(ds, vae, model):
@@ -194,6 +255,51 @@ def main():
             agree = ((samples == results["xla-f32"]) * tgt_mask).sum() / tgt_mask.sum()
             line += f"  token agreement vs f32 {agree:.4f}"
         print(line)
+
+    # --- AnticipationRNN family (baseline models) ----------------------- #
+    from inpaintnet_tpu.models import (
+        AnticipationRNNBaseline,
+        ConstraintModelGaussianReg,
+    )
+    from inpaintnet_tpu.train import (
+        AnticipationRNNBaselineTrainer,
+        AnticipationRNNGaussianRegTrainer,
+    )
+
+    b = score.shape[0]
+    score_flat = score.reshape(b, -1).astype(np.int32)
+    md_flat = np.asarray(batch[1]).reshape(b, score_flat.shape[1], -1).astype(
+        np.int32
+    )
+    msl = model.measure_seq_len
+    # same 6/4/6 layout: constraint span = measures 7..11 (reference
+    # start_measure = num_past + 1, anticipation_rnn_trainer.py:93-128)
+    loc = np.ones_like(score_flat)
+    span = slice(7 * msl, 11 * msl)
+    loc[:, span] = 0
+    for cls, tr_cls, name in [
+        (ConstraintModelGaussianReg, AnticipationRNNGaussianRegTrainer,
+         "arnn-reg"),
+        (AnticipationRNNBaseline, AnticipationRNNBaselineTrainer,
+         "arnn-baseline"),
+    ]:
+        arnn = build_arnn(ds, ckpt_dir, cls)
+        train_arnn_if_needed(ds, arnn, tr_cls)
+        arnn.params = jax.device_get(arnn.params)
+        ref = None
+        for label, dtype, env in [
+            ("xla-f32", "float32", {"INPAINTNET_ARNN_IMPL": "xla"}),
+            ("pallas-bf16", "bfloat16", {}),
+        ]:
+            gen = eval_arnn_config(arnn, score_flat, md_flat, loc, dtype, env)
+            acc = (gen[:, span] == score_flat[:, span]).mean()
+            line = f"{name + ' ' + label:>25}: span accuracy {acc:.4f}"
+            if ref is None:
+                ref = gen
+            else:
+                agree = (gen[:, span] == ref[:, span]).mean()
+                line += f"  token agreement vs f32 {agree:.4f}"
+            print(line)
 
 
 if __name__ == "__main__":

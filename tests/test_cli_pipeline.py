@@ -141,6 +141,7 @@ def test_arnn_and_joint_eval(workdir):
     assert {"original.mid", "baseline.mid", "reg.mid"} <= suffixes or len(mids) >= 8
 
 
+@pytest.mark.slow
 def test_quality_check_harness_smoke(tmp_path):
     """benchmarks/quality_check.py end-to-end at tiny dims on CPU: trains
     both models, evaluates every serving config, prints the table (kernel
@@ -150,8 +151,11 @@ def test_quality_check_harness_smoke(tmp_path):
 
     env = dict(
         os.environ,
-        QC_VAE_EPOCHS="1", QC_RNN_EPOCHS="1", QC_HIDDEN="16", QC_Z="12",
-        QC_TUNES="8", QC_EVAL_BATCH="8", QC_VAE_BATCH="8", QC_RNN_BATCH="4",
+        QC_VAE_EPOCHS="1", QC_RNN_EPOCHS="1", QC_ARNN_EPOCHS="1",
+        QC_HIDDEN="16", QC_Z="12", QC_ARNN_HIDDEN="16",
+        # big batches = few steps: the point is plumbing, not quality
+        QC_TUNES="8", QC_EVAL_BATCH="8", QC_VAE_BATCH="128",
+        QC_RNN_BATCH="128",
         INPAINTNET_FORCE_CPU="1",
     )
     out = subprocess.run(
@@ -159,10 +163,11 @@ def test_quality_check_harness_smoke(tmp_path):
          os.path.join(os.path.dirname(__file__), "..", "benchmarks",
                       "quality_check.py"),
          str(tmp_path / "qc")],
-        capture_output=True, text=True, timeout=900, env=env,
+        capture_output=True, text=True, timeout=1800, env=env,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.count("inpaint accuracy") == 3, out.stdout
+    assert out.stdout.count("span accuracy") == 4, out.stdout
     assert "token agreement vs f32" in out.stdout
     # second run reuses the cached checkpoints
     out2 = subprocess.run(
@@ -170,7 +175,7 @@ def test_quality_check_harness_smoke(tmp_path):
          os.path.join(os.path.dirname(__file__), "..", "benchmarks",
                       "quality_check.py"),
          str(tmp_path / "qc")],
-        capture_output=True, text=True, timeout=900, env=env,
+        capture_output=True, text=True, timeout=1800, env=env,
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "loaded cached checkpoints" in out2.stdout

@@ -45,10 +45,16 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
     # quantized serving default on TPU: measured QUALITY-NEUTRAL on trained
     # weights (inpaint accuracy identical to f32 — docs/PERFORMANCE.md
     # "int8 serving", benchmarks/quality_check.py). Opt out with
-    # INPAINTNET_SERVE_QUANT=none.
-    if dtype != "float32" and jax.default_backend() == "tpu":
-        os.environ.setdefault("INPAINTNET_SERVE_QUANT", "int8")
-    serve_quant = os.environ.get("INPAINTNET_SERVE_QUANT", "none")
+    # INPAINTNET_SERVE_QUANT=none. Applied through the SCOPED override
+    # (ops.quantize.serving_quant) — not by mutating os.environ, which
+    # would leak into the CPU-baseline subprocess and later engines.
+    on_tpu = jax.default_backend() == "tpu"
+    serve_quant = os.environ.get(
+        "INPAINTNET_SERVE_QUANT",
+        "int8" if (dtype != "float32" and on_tpu) else "none",
+    )
+    if not on_tpu:
+        serve_quant = "none"  # kernel gates are TPU-only; report reality
     if dtype != "float32":
         import jax.numpy as jnp
 
@@ -68,12 +74,18 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
     fm = np.ones((batch, N_FUTURE), np.float32)
     tm = np.ones((batch, N_TARGET), np.float32)
 
+    from inpaintnet_tpu.ops.quantize import serving_quant
+
     @jax.jit
     def inpaint(params, vae_params, past, pm, future, fm, target, tm, key):
-        w, samples, z = model.apply(
-            params, vae_params, past, future, target,
-            past_mask=pm, future_mask=fm, target_mask=tm, train=False, rng=key,
-        )
+        # scope active while jit TRACES the body — when the model's
+        # kernel gates read the serving mode
+        with serving_quant(serve_quant):
+            w, samples, z = model.apply(
+                params, vae_params, past, future, target,
+                past_mask=pm, future_mask=fm, target_mask=tm, train=False,
+                rng=key,
+            )
         return samples
 
     from inpaintnet_tpu.utils.timing import fetch

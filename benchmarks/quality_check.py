@@ -171,6 +171,7 @@ def train_if_needed(ds, vae, model):
 
 def eval_config(model, vae, batch_args, dtype, env=None, label=""):
     """Generated-target accuracy under one serving config (fresh trace)."""
+    print(f"evaluating {label or dtype} ...", flush=True)
     import jax
     import jax.numpy as jnp
 
@@ -239,11 +240,21 @@ def main():
     batch_args = (p, pm, f, fm, t, tm)
     tgt_mask = tm[:, :, None] * np.ones((1, 1, model.measure_seq_len))
 
+    # each config pins EVERY routing variable it depends on, so ambient
+    # env (a user-exported INPAINTNET_SERVE_QUANT, say) can't mislabel a
+    # row
     configs = [
         ("xla-f32", "float32",
-         {"INPAINTNET_ENCODER_IMPL": "xla", "INPAINTNET_DECODE_IMPL": "xla"}),
-        ("pallas-bf16", "bfloat16", {}),
-        ("pallas-int8", "bfloat16", {"INPAINTNET_SERVE_QUANT": "int8"}),
+         {"INPAINTNET_ENCODER_IMPL": "xla", "INPAINTNET_DECODE_IMPL": "xla",
+          "INPAINTNET_SERVE_QUANT": "none"}),
+        ("pallas-bf16", "bfloat16",
+         {"INPAINTNET_ENCODER_IMPL": "pallas",
+          "INPAINTNET_DECODE_IMPL": "pallas",
+          "INPAINTNET_SERVE_QUANT": "none"}),
+        ("pallas-int8", "bfloat16",
+         {"INPAINTNET_ENCODER_IMPL": "pallas",
+          "INPAINTNET_DECODE_IMPL": "pallas",
+          "INPAINTNET_SERVE_QUANT": "int8"}),
     ]
     results = {}
     for label, dtype, env in configs:
@@ -272,8 +283,13 @@ def main():
         np.int32
     )
     msl = model.measure_seq_len
-    # same 6/4/6 layout: constraint span = measures 7..11 (reference
-    # start_measure = num_past + 1, anticipation_rnn_trainer.py:93-128)
+    # 4-measure span at measures 7..11 — 7 past / 4 target / 5 future,
+    # following the reference's start_measure = num_past + 1 quirk
+    # (anticipation_rnn_trainer.py:93-128). NOTE: this is a slightly
+    # different task than the LatentRNN rows' 6/4/6 split, so "span
+    # accuracy" is not directly comparable to "inpaint accuracy" across
+    # families — each family's rows compare serving configs of the SAME
+    # task.
     loc = np.ones_like(score_flat)
     span = slice(7 * msl, 11 * msl)
     loc[:, span] = 0
@@ -289,7 +305,7 @@ def main():
         ref = None
         for label, dtype, env in [
             ("xla-f32", "float32", {"INPAINTNET_ARNN_IMPL": "xla"}),
-            ("pallas-bf16", "bfloat16", {}),
+            ("pallas-bf16", "bfloat16", {"INPAINTNET_ARNN_IMPL": "pallas"}),
         ]:
             gen = eval_arnn_config(arnn, score_flat, md_flat, loc, dtype, env)
             acc = (gen[:, span] == score_flat[:, span]).mean()

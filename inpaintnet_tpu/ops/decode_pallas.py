@@ -41,6 +41,7 @@ from inpaintnet_tpu.ops.pallas_common import (
     interpret_default,
     round_up,
 )
+from inpaintnet_tpu.ops.quantize import dequantize_h, quantize_h_int8
 
 TICKS_PER_BEAT = 6
 NUM_TICKS = 24
@@ -395,9 +396,9 @@ def _decode_kernel_int8(qscale_ref,
         .astype(jnp.float32) * scales_ref[0]
         + bias_ref[0].astype(jnp.float32)
     )
-    h0 = h0_q.astype(jnp.float32) * (1.0 / q)
+    h0 = dequantize_h(h0_q, q)
     h0_new = gru_gates_f32(xw0, hw0, h0, hidden)
-    h0_new_q = jnp.clip(jnp.round(h0_new * q), -127, 127).astype(jnp.int8)
+    h0_new_q = quantize_h_int8(h0_new, q)
 
     # layer 1
     xw1 = (
@@ -410,9 +411,9 @@ def _decode_kernel_int8(qscale_ref,
         .astype(jnp.float32) * scales_ref[2]
         + bias_ref[2].astype(jnp.float32)
     )
-    h1 = h1_q.astype(jnp.float32) * (1.0 / q)
+    h1 = dequantize_h(h1_q, q)
     h1_new = gru_gates_f32(xw1, hw1, h1, hidden)
-    h1_new_q = jnp.clip(jnp.round(h1_new * q), -127, 127).astype(jnp.int8)
+    h1_new_q = quantize_h_int8(h1_new, q)
 
     # ReLU head + first-index argmax on the dequantized logits
     logits = (
@@ -486,13 +487,8 @@ def _decode_sampling_pallas_int8(params, tick_ctx, h_inits, *, tile_b: int,
     x0_xw = (params["x_0"] @ p0["w_ih"][:E])[None, :]
     ctx_xw = jnp.swapaxes(tick_ctx @ p0["w_ih"][E:] + p0["b_ih"], 0, 1)
     # pre-quantize the per-beat init hiddens at the carry's scale
-    def quant_h(x):
-        return jnp.clip(
-            jnp.round(x.astype(jnp.float32) * qscale[0]), -127, 127
-        ).astype(jnp.int8)
-
-    hi0 = quant_h(jnp.swapaxes(h_inits[0], 0, 1))  # (4, B, H) int8
-    hi1 = quant_h(jnp.swapaxes(h_inits[1], 0, 1))
+    hi0 = quantize_h_int8(jnp.swapaxes(h_inits[0], 0, 1), qscale[0])
+    hi1 = quantize_h_int8(jnp.swapaxes(h_inits[1], 0, 1), qscale[0])
     bias = jnp.stack([p0["b_hh"], p1["b_ih"], p1["b_hh"]])
 
     tile_b = min(tile_b, round_up(batch, 8))

@@ -49,6 +49,7 @@ from inpaintnet_tpu.ops.pallas_common import (
     interpret_default,
     round_up,
 )
+from inpaintnet_tpu.ops.quantize import dequantize_h, quantize_h_int8
 
 
 def _l0_kernel(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
@@ -312,9 +313,9 @@ def _l0_kernel_int8(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
             * scales_ref[2 * d + 1]
             + bhh_ref[d].astype(jnp.float32)
         )
-        h = h_q.astype(jnp.float32) * (1.0 / 127.0)
+        h = dequantize_h(h_q)
         h_new = gru_gates_f32(xw, hw, h, hidden)
-        h_store = jnp.clip(jnp.round(h_new * 127.0), -127, 127).astype(jnp.int8)
+        h_store = quantize_h_int8(h_new)
         h_scratch[:] = h_store
         ys_ref[0] = h_store
 
@@ -353,11 +354,9 @@ def _l1_kernel_int8(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
             * scales_ref[2 * d + 1]
             + bhh_ref[d].astype(jnp.float32)
         )
-        h = h_q.astype(jnp.float32) * (1.0 / 127.0)
+        h = dequantize_h(h_q)
         h_new = gru_gates_f32(xw, hw, h, hidden)
-        h_scratch[:] = jnp.clip(jnp.round(h_new * 127.0), -127, 127).astype(
-            jnp.int8
-        )
+        h_scratch[:] = quantize_h_int8(h_new)
 
         @pl.when(t == seq_len - 1)
         def _():

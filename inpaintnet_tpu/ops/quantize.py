@@ -19,9 +19,10 @@ Scheme (symmetric, per-output-channel):
 - gate math stays f32 (pallas_common.gru_gates_f32) — only the MXU
   contractions are quantized.
 
-Quality: int8 is an OPT-IN serving mode (like bf16); the headline bench
-stays bf16. Measured impact on trained weights is recorded in
-docs/PERFORMANCE.md.
+Quality: measured QUALITY-NEUTRAL on trained weights (inpaint accuracy
+identical to f32 — table in docs/PERFORMANCE.md), on which basis int8 is
+the TPU serving default in ``bench.py``; ``INPAINTNET_SERVE_QUANT=none``
+or ``InpaintingEngine(dtype="bfloat16")`` revert to bf16.
 """
 from __future__ import annotations
 
@@ -75,14 +76,16 @@ def quantize_cols_int8(w):
     return q, scale
 
 
-def quantize_h_int8(h):
-    """Quantize a tanh-bounded activation to int8 at the fixed H_SCALE."""
+def quantize_h_int8(h, qscale=H_SCALE):
+    """Quantize a bounded activation to int8 at ``qscale`` (= 127/bound;
+    the default assumes the tanh bound |h| < 1). Traceable inside Pallas
+    kernels — both int8 kernels call this per step."""
     return (
-        jnp.clip(jnp.round(h.astype(jnp.float32) * H_SCALE), -127, 127)
+        jnp.clip(jnp.round(h.astype(jnp.float32) * qscale), -127, 127)
         .astype(jnp.int8)
     )
 
 
-def dequantize_h(q):
+def dequantize_h(q, qscale=H_SCALE):
     """Inverse of :func:`quantize_h_int8` (f32)."""
-    return q.astype(jnp.float32) * (1.0 / H_SCALE)
+    return q.astype(jnp.float32) * (1.0 / qscale)

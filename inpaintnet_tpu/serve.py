@@ -30,17 +30,25 @@ class InpaintingEngine:
         dtype: Optional[str] = "bfloat16",
         n_bars: int = 16,
         seed: int = 0,
+        mesh=None,
     ):
         """:param dtype: serving numeric — "float32", "bfloat16" (default),
         or "int8" (bf16 master params + the quantized kernel route;
         measured quality-neutral on trained weights, docs/PERFORMANCE.md
-        "int8 serving")."""
+        "int8 serving").
+        :param mesh: optional ``jax.sharding.Mesh`` — requests are sharded
+        over its "data" axis (params replicated), scaling serving
+        throughput across chips. Generation is row-independent, so a
+        sharded batch produces EXACTLY the single-device tokens (tested).
+        Buckets should divide the data axis; indivisible ones fall back to
+        replication with a warning (parallel/mesh.shard_batch)."""
         self.model = model
         self.n_bars = n_bars
         self.max_target = model.max_target
         self.msl = model.measure_seq_len
         self.batch_buckets = sorted(batch_buckets)
         self.seed = seed
+        self.mesh = mesh
         # int8 quantizes inside the kernels from bf16 masters
         self._quant = "int8" if dtype == "int8" else None
         if dtype == "int8":
@@ -50,9 +58,22 @@ class InpaintingEngine:
         if dtype and dtype != "float32":
             params = cast_pytree(params, jnp.dtype(dtype))
             vae_params = cast_pytree(vae_params, jnp.dtype(dtype))
+        if mesh is not None:
+            from inpaintnet_tpu.parallel.mesh import replicate
+
+            params = replicate(mesh, params)
+            vae_params = replicate(mesh, vae_params)
         self._params = params
         self._vae_params = vae_params
         self._compiled: Dict[int, object] = {}
+
+    def _place_batch(self, arrays):
+        """Shard request arrays over the mesh's data axis (no-op meshless)."""
+        if self.mesh is None:
+            return arrays
+        from inpaintnet_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, arrays)
 
     # ------------------------------------------------------------------ #
     def _fn(self):
@@ -96,6 +117,7 @@ class InpaintingEngine:
         layout; single source of truth for inpaint/inpaint_variations."""
         tokens = np.asarray(tokens)
         b, m, msl = tokens.shape
+        assert b <= bucket, f"batch {b} exceeds bucket {bucket}"
         assert msl == self.msl, (msl, self.msl)
         assert 1 <= num_measures <= self.max_target
         assert 0 < start_measure and start_measure + num_measures < m + 1
@@ -125,16 +147,27 @@ class InpaintingEngine:
     ) -> np.ndarray:
         """Inpaint ``num_measures`` measures starting at ``start_measure``.
 
-        :param tokens: (B, M, msl) int tokens, M <= n_bars
+        :param tokens: (B, M, msl) int tokens, M <= n_bars; batches larger
+            than the biggest bucket are processed in bucket-size chunks
         :param start_measure: first measure (0-based) of the masked span
         :param num_measures: 1..max_target measures to regenerate
         :return: (B, M, msl) tokens with the span replaced
         """
-        b = np.asarray(tokens).shape[0]
+        tokens = np.asarray(tokens)
+        b = tokens.shape[0]
+        max_bucket = self.batch_buckets[-1]
+        if b > max_bucket:
+            base = self.seed if seed is None else seed
+            return np.concatenate([
+                self.inpaint(tokens[i : i + max_bucket], start_measure,
+                             num_measures, seed=base + (i // max_bucket))
+                for i in range(0, b, max_bucket)
+            ])
         bucket, fn = self._compiled_for(b)
         tokens, past, pm, future, fm, tm = self._pack_request(
             tokens, start_measure, num_measures, bucket
         )
+        past, pm, future, fm, tm = self._place_batch((past, pm, future, fm, tm))
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
         samples = np.asarray(
             fn(self._params, self._vae_params, past, pm, future, fm, tm, key)
@@ -170,11 +203,23 @@ class InpaintingEngine:
                              seed=(self.seed if seed is None else seed) + i)
                 for i in range(num_variations)
             ])
-        b = np.asarray(tokens).shape[0]
+        tokens = np.asarray(tokens)
+        b = tokens.shape[0]
+        max_bucket = self.batch_buckets[-1]
+        if b > max_bucket:
+            base = self.seed if seed is None else seed
+            return np.concatenate([
+                self.inpaint_variations(
+                    tokens[i : i + max_bucket], start_measure, num_measures,
+                    num_variations, seed=base + (i // max_bucket),
+                )
+                for i in range(0, b, max_bucket)
+            ], axis=1)
         bucket, _ = self._compiled_for(b)
         tokens, past, pm, future, fm, tm = self._pack_request(
             tokens, start_measure, num_measures, bucket
         )
+        past, pm, future, fm, tm = self._place_batch((past, pm, future, fm, tm))
 
         model = self.model
         if "enc_dists" not in self._compiled:

@@ -48,12 +48,11 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
     # INPAINTNET_SERVE_QUANT=none. Applied through the SCOPED override
     # (ops.quantize.serving_quant) — not by mutating os.environ, which
     # would leak into the CPU-baseline subprocess and later engines.
-    on_tpu = jax.default_backend() == "tpu"
     serve_quant = os.environ.get(
         "INPAINTNET_SERVE_QUANT",
-        "int8" if (dtype != "float32" and on_tpu) else "none",
+        "int8" if dtype != "float32" else "none",
     )
-    if not on_tpu:
+    if jax.default_backend() != "tpu":
         serve_quant = "none"  # kernel gates are TPU-only; report reality
     if dtype != "float32":
         import jax.numpy as jnp

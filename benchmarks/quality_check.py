@@ -240,9 +240,10 @@ def main():
     batch_args = (p, pm, f, fm, t, tm)
     tgt_mask = tm[:, :, None] * np.ones((1, 1, model.measure_seq_len))
 
-    # each config pins EVERY routing variable it depends on, so ambient
-    # env (a user-exported INPAINTNET_SERVE_QUANT, say) can't mislabel a
-    # row
+    # each config pins the kernel-route variables it depends on, so
+    # ambient env (a user-exported INPAINTNET_SERVE_QUANT, say) can't
+    # mislabel a row. (INPAINTNET_GRU_IMPL is read once at import and
+    # can't be pinned here — its two impls are exact-parity anyway.)
     configs = [
         ("xla-f32", "float32",
          {"INPAINTNET_ENCODER_IMPL": "xla", "INPAINTNET_DECODE_IMPL": "xla",

@@ -37,11 +37,14 @@ class InpaintingEngine:
         measured quality-neutral on trained weights, docs/PERFORMANCE.md
         "int8 serving").
         :param mesh: optional ``jax.sharding.Mesh`` — requests are sharded
-        over its "data" axis (params replicated), scaling serving
-        throughput across chips. Generation is row-independent, so a
-        sharded batch produces EXACTLY the single-device tokens (tested).
-        Buckets should divide the data axis; indivisible ones fall back to
-        replication with a warning (parallel/mesh.shard_batch)."""
+        over its "data" axis (params replicated) via ``jax.shard_map``,
+        scaling serving throughput across chips. shard_map (not GSPMD
+        auto-partitioning) is load-bearing: the fused Pallas kernels lower
+        to custom calls XLA cannot partition, so each device must run the
+        whole program on its local shard — which shard_map does.
+        Generation is row-independent, so a sharded batch produces EXACTLY
+        the single-device tokens (tested). Buckets must divide the data
+        axis."""
         self.model = model
         self.n_bars = n_bars
         self.max_target = model.max_target
@@ -49,8 +52,11 @@ class InpaintingEngine:
         self.batch_buckets = sorted(batch_buckets)
         self.seed = seed
         self.mesh = mesh
-        # int8 quantizes inside the kernels from bf16 masters
-        self._quant = "int8" if dtype == "int8" else None
+        # int8 quantizes inside the kernels from bf16 masters. PIN the
+        # mode for every dtype (not just int8): deferring to the ambient
+        # INPAINTNET_SERVE_QUANT env would let a leftover export silently
+        # flip an explicitly-bf16 engine to the quantized route
+        self._quant = "int8" if dtype == "int8" else "none"
         if dtype == "int8":
             dtype = "bfloat16"
         params = model.params
@@ -67,6 +73,22 @@ class InpaintingEngine:
         self._vae_params = vae_params
         self._compiled: Dict[int, object] = {}
 
+    # chunk seeds sit a large stride away from the user's seed so a
+    # chunked call never shares a PRNGKey with neighboring-seed calls
+    # (seed s chunk c uses s + (c+1)*STRIDE; plain calls use s itself)
+    _CHUNK_SEED_STRIDE = 1_000_003
+
+    def _run_chunked(self, call, b: int, seed: Optional[int]):
+        """Split an oversized batch at the largest bucket; single source
+        of truth for inpaint/inpaint_variations."""
+        mb = self.batch_buckets[-1]
+        base = self.seed if seed is None else seed
+        return [
+            call(lo, min(lo + mb, b),
+                 base + (lo // mb + 1) * self._CHUNK_SEED_STRIDE)
+            for lo in range(0, b, mb)
+        ]
+
     def _place_batch(self, arrays):
         """Shard request arrays over the mesh's data axis (no-op meshless)."""
         if self.mesh is None:
@@ -76,13 +98,37 @@ class InpaintingEngine:
         return shard_batch(self.mesh, arrays)
 
     # ------------------------------------------------------------------ #
+    def _shard_mapped(self, core, n_batch_args: int):
+        """Wrap ``core(params, vae_params, *batch_args, key)`` in
+        ``jax.shard_map`` over the mesh's "data" axis. Each device runs
+        the WHOLE program (including the Pallas kernels, which lower to
+        custom calls GSPMD cannot partition) on its local rows; the rng
+        key is decorrelated per shard via fold_in(axis_index)."""
+        import jax as _jax
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+
+        def per_shard(params, vae_params, *rest):
+            *batch_args, key = rest
+            key = _jax.random.fold_in(key, _jax.lax.axis_index("data"))
+            return core(params, vae_params, *batch_args, key)
+
+        return _jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P()) + (P("data"),) * n_batch_args + (P(),),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+
     def _fn(self):
         from inpaintnet_tpu.ops.quantize import serving_quant
 
         model = self.model
         quant = self._quant
 
-        def fn(params, vae_params, past, pm, future, fm, tm, key):
+        def core(params, vae_params, past, pm, future, fm, tm, key):
             # the serving_quant scope is active while jit TRACES this
             # body, which is when the model's kernel gates read the mode
             with serving_quant(quant):
@@ -93,7 +139,9 @@ class InpaintingEngine:
                 )
             return samples
 
-        return fn
+        if self.mesh is None:
+            return core
+        return self._shard_mapped(core, n_batch_args=5)
 
     def _compiled_for(self, batch: int):
         bucket = next((b for b in self.batch_buckets if b >= batch),
@@ -155,14 +203,13 @@ class InpaintingEngine:
         """
         tokens = np.asarray(tokens)
         b = tokens.shape[0]
-        max_bucket = self.batch_buckets[-1]
-        if b > max_bucket:
-            base = self.seed if seed is None else seed
-            return np.concatenate([
-                self.inpaint(tokens[i : i + max_bucket], start_measure,
-                             num_measures, seed=base + (i // max_bucket))
-                for i in range(0, b, max_bucket)
-            ])
+        if b > self.batch_buckets[-1]:
+            return np.concatenate(self._run_chunked(
+                lambda lo, hi, s: self.inpaint(
+                    tokens[lo:hi], start_measure, num_measures, seed=s
+                ),
+                b, seed,
+            ))
         bucket, fn = self._compiled_for(b)
         tokens, past, pm, future, fm, tm = self._pack_request(
             tokens, start_measure, num_measures, bucket
@@ -205,16 +252,14 @@ class InpaintingEngine:
             ])
         tokens = np.asarray(tokens)
         b = tokens.shape[0]
-        max_bucket = self.batch_buckets[-1]
-        if b > max_bucket:
-            base = self.seed if seed is None else seed
-            return np.concatenate([
-                self.inpaint_variations(
-                    tokens[i : i + max_bucket], start_measure, num_measures,
-                    num_variations, seed=base + (i // max_bucket),
-                )
-                for i in range(0, b, max_bucket)
-            ], axis=1)
+        if b > self.batch_buckets[-1]:
+            return np.concatenate(self._run_chunked(
+                lambda lo, hi, s: self.inpaint_variations(
+                    tokens[lo:hi], start_measure, num_measures,
+                    num_variations, seed=s,
+                ),
+                b, seed,
+            ), axis=1)
         bucket, _ = self._compiled_for(b)
         tokens, past, pm, future, fm, tm = self._pack_request(
             tokens, start_measure, num_measures, bucket
@@ -238,6 +283,29 @@ class InpaintingEngine:
                         target_mask=tm, rng=key,
                     )[1]
 
+            if self.mesh is not None:
+                import jax as _jax
+                from jax.sharding import PartitionSpec as P
+
+                # no randomness in the encode; per-shard key fold in gen
+                enc_dists = _jax.shard_map(
+                    enc_dists, mesh=self.mesh,
+                    in_specs=(P(), P("data"), P("data")),
+                    out_specs=P("data"), check_vma=False,
+                )
+                gen_plain = gen_dists
+
+                def gen_core(p, vp, pd, fd, pm, fm, tm, key):
+                    key = _jax.random.fold_in(
+                        key, _jax.lax.axis_index("data")
+                    )
+                    return gen_plain(p, vp, pd, fd, pm, fm, tm, key)
+
+                gen_dists = _jax.shard_map(
+                    gen_core, mesh=self.mesh,
+                    in_specs=(P(), P()) + (P("data"),) * 5 + (P(),),
+                    out_specs=P("data"), check_vma=False,
+                )
             self._compiled["enc_dists"] = jax.jit(enc_dists)
             self._compiled["gen_dists"] = jax.jit(gen_dists)
         pd, fd = self._compiled["enc_dists"](self._vae_params, past, future)

@@ -234,10 +234,14 @@ def test_engine_warmup_precompiles_buckets(engine):
     assert out.shape == tokens.shape
 
 
-def test_engine_mesh_sharded_serving_matches_single_device(engine, devices8):
-    """Data-parallel serving: an engine over an 8-device mesh produces
-    EXACTLY the single-device engine's tokens (generation is
-    row-independent), with request arrays actually sharded."""
+def test_engine_mesh_sharded_serving(engine, devices8):
+    """Data-parallel serving via shard_map: each shard's tokens EXACTLY
+    equal a single-device run on that shard's rows with the shard-folded
+    key (the per-shard program is the same computation), shards are
+    rng-DEcorrelated, and the request arrays are actually sharded.
+    shard_map (not GSPMD) is load-bearing: on TPU the Pallas kernels
+    lower to custom calls XLA cannot partition."""
+    import jax
     from jax.sharding import PartitionSpec as P
 
     from inpaintnet_tpu.parallel.mesh import make_mesh
@@ -247,12 +251,33 @@ def test_engine_mesh_sharded_serving_matches_single_device(engine, devices8):
         engine.model, batch_buckets=(8,), dtype="float32", mesh=mesh
     )
     eng_single = InpaintingEngine(
-        engine.model, batch_buckets=(8,), dtype="float32"
+        engine.model, batch_buckets=(1,), dtype="float32"
     )
-    tokens = np.random.RandomState(9).randint(0, V, (8, 16, 24)).astype(np.int32)
-    out_mesh = eng_mesh.inpaint(tokens, start_measure=8, num_measures=2, seed=3)
-    out_single = eng_single.inpaint(tokens, start_measure=8, num_measures=2, seed=3)
-    np.testing.assert_array_equal(out_mesh, out_single)
+    # 8 IDENTICAL rows, one per shard: rng decorrelation must make the
+    # generated spans differ across shards (a replicated key would make
+    # them all identical)
+    one = np.random.RandomState(9).randint(0, V, (1, 16, 24)).astype(np.int32)
+    tokens = np.repeat(one, 8, axis=0)
+    out = eng_mesh.inpaint(tokens, start_measure=8, num_measures=2, seed=3)
+    assert out.shape == tokens.shape
+    np.testing.assert_array_equal(out[:, :8], tokens[:, :8])
+    spans = out[:, 8:10]
+    assert len({s.tobytes() for s in spans}) > 1, "shards correlated"
+    # per-shard exactness: shard i == single-device run on its row with
+    # the shard-folded key
+    base = jax.random.PRNGKey(3)
+    fn = eng_single._compiled_for(1)[1]
+    import jax as _jax
+
+    for i in (0, 3, 7):
+        _, past, pm, future, fm, tm = eng_single._pack_request(
+            tokens[i : i + 1], 8, 2, 1
+        )
+        expected = np.asarray(_jax.jit(fn)(
+            eng_single._params, eng_single._vae_params, past, pm, future,
+            fm, tm, jax.random.fold_in(base, i),
+        ))
+        np.testing.assert_array_equal(spans[i], expected[0, :2])
     # the placed batch really is sharded over the data axis
     placed = eng_mesh._place_batch((tokens.astype(np.int32),))[0]
     assert placed.sharding.spec == P("data")

@@ -298,3 +298,33 @@ def test_engine_chunks_oversized_batches(engine):
     v = engine.inpaint_variations(tokens, 4, 2, num_variations=2, seed=2)
     assert v.shape == (2,) + tokens.shape
     np.testing.assert_array_equal(v[0][:, :4], tokens[:, :4])
+
+
+def test_engine_mesh_with_pallas_kernels(engine, devices8, monkeypatch):
+    """The Pallas kernel routes compose with shard_map (interpret mode on
+    CPU): a meshed int8 engine traces the kernels per shard and serves."""
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    from inpaintnet_tpu.models import measure_vae as mv
+    from inpaintnet_tpu.ops import decode_pallas as dp_mod
+    from inpaintnet_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(mv.Encoder, "_use_pallas", lambda self, p: True)
+    monkeypatch.setattr(
+        mv.HierarchicalDecoder, "_use_pallas_decode", lambda self, p: True
+    )
+    called = []
+    orig = dp_mod.decode_sampling_pallas_int8
+    monkeypatch.setattr(
+        dp_mod, "decode_sampling_pallas_int8",
+        lambda *a, **k: called.append(1) or orig(*a, **k),
+    )
+    mesh = make_mesh(num_devices=8)
+    eng = InpaintingEngine(
+        engine.model, batch_buckets=(8,), dtype="int8", mesh=mesh
+    )
+    tokens = np.random.RandomState(4).randint(0, V, (8, 16, 24)).astype(np.int32)
+    out = eng.inpaint(tokens, start_measure=8, num_measures=2, seed=1)
+    assert called, "int8 kernel not traced under shard_map"
+    assert out.shape == tokens.shape
+    np.testing.assert_array_equal(out[:, :8], tokens[:, :8])
+    assert out.min() >= 0 and out.max() < V

@@ -97,18 +97,25 @@ class Model:
         return sum(np.size(x) for x in jax.tree_util.tree_leaves(self.params))
 
     # --- persistence ------------------------------------------------------ #
+    @staticmethod
+    def _npz(path: str) -> str:
+        """np.savez appends .npz when absent; normalize so the string a
+        caller passed to save() always loads back verbatim."""
+        return path if path.endswith(".npz") else path + ".npz"
+
     def save(self, path: Optional[str] = None):
-        path = path or self.filepath
+        path = self._npz(path or self.filepath)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.savez(path, **flatten_params(self.params))
         print(f"Model {repr(self)} saved")
 
     def save_checkpoint(self, epoch_num: int):
-        self.save(self.filepath + f"_{epoch_num}")
+        base = self.filepath[:-4]  # strip .npz
+        self.save(f"{base}_{epoch_num}.npz")
 
     def load(self, path: Optional[str] = None, cpu: bool = False):
         del cpu  # device placement is a jit concern in JAX
-        path = path or self.filepath
+        path = self._npz(path or self.filepath)
         if self.params is None:
             raise RuntimeError("call init() before load() to build the param template")
         with np.load(path) as z:

@@ -149,10 +149,7 @@ class Encoder:
                 )[1],
             )
             h_n = fn(params["gru"], params["embedding"]["table"], score_tensor)
-            hidden = jnp.transpose(h_n, (1, 0, 2)).reshape(batch, -1)
-            z_mean = mlp_selu_apply(params["mean_head"], hidden)
-            z_log_std = mlp_selu_apply(params["log_std_head"], hidden)
-            return DiagNormal(z_mean, jnp.exp(z_log_std))
+            return self._heads(params, h_n, batch)
         emb = embedding_apply(params["embedding"], score_tensor)
         _, h_n = gru_apply(
             params["gru"], emb, dropout=self.dropout, rng=rng, train=train,
@@ -161,7 +158,12 @@ class Encoder:
             # batched projection (one matmul in the backward pass)
             xw_inloop=not train,
         )
-        # torch layout concat (encoder.py:126-127): (L*D, B, H) -> (B, L*D*H)
+        return self._heads(params, h_n, batch)
+
+    def _heads(self, params, h_n, batch) -> DiagNormal:
+        """Shared z-head tail for both recurrence routes: torch layout
+        concat (encoder.py:126-127) (L*D, B, H) -> (B, L*D*H) -> mean and
+        log-std heads."""
         hidden = jnp.transpose(h_n, (1, 0, 2)).reshape(batch, -1)
         z_mean = mlp_selu_apply(params["mean_head"], hidden)
         z_log_std = mlp_selu_apply(params["log_std_head"], hidden)

@@ -24,7 +24,12 @@ class AnticipationRNNGaussianRegTrainer(Trainer):
         self.max_num_measure_target = 6
         self.gaussian_reg_coeff = gaussian_reg_coeff
         super().__init__(dataset, model, lr, early_stopping, **kw)
-        assert dataset.n_bars > self.max_num_measure_target
+        # see latent_rnn_trainer: randint(1, n_bars - target - 1) needs
+        # n_bars >= target + 3
+        assert dataset.n_bars >= self.max_num_measure_target + 3, (
+            f"n_bars {dataset.n_bars} too small for "
+            f"max target {self.max_num_measure_target} (need >= target + 3)"
+        )
         self.measure_seq_len = dataset.subdivision * dataset.num_beats_per_bar
         self._np_rng = np.random.RandomState(kw.get("seed", 0) + 29)
 
@@ -75,11 +80,14 @@ class AnticipationRNNGaussianRegTrainer(Trainer):
     def loss_and_metrics(self, params, batch_data, rng, train, extra=None,
                          row_mask=None):
         score, md, loc = batch_data
-        if self.gaussian_reg_coeff > 0.0:
+        if train and self.gaussian_reg_coeff > 0.0:
             # activation regularizer requires the TF full-sequence pass —
             # the reference defines this term but never adds it
             # (anticipation_rnn_trainer.py:138-152); here it is a working
-            # opt-in
+            # opt-in. TRAIN only (and always teacher-forced, the
+            # activations' requirement); eval keeps the standard ``apply``
+            # path so val loss stays comparable to coeff=0 runs and
+            # EarlyStopping tracks the serving-time objective.
             weights, (g_acts, c_acts) = self.model.forward_tf(
                 params, score, md, loc, train=train, rng=rng,
                 return_activations=True,

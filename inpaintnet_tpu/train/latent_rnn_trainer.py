@@ -59,7 +59,14 @@ class LatentRNNTrainer(Trainer):
         self.max_num_measure_target = 6
         super().__init__(dataset, model, lr, early_stopping, **kw)
         assert self.max_num_measure_target >= self.min_num_measures_target
-        assert dataset.n_bars > self.max_num_measure_target
+        # the stochastic split draws num_past ~ randint(1, n_bars -
+        # num_target - 1), which needs n_bars >= num_target + 3 to be a
+        # non-empty range for the LARGEST target (n_bars > max alone
+        # admits 7/8-bar datasets that crash mid-training)
+        assert dataset.n_bars >= self.max_num_measure_target + 3, (
+            f"n_bars {dataset.n_bars} too small for "
+            f"max target {self.max_num_measure_target} (need >= target + 3)"
+        )
         self.measure_seq_len = dataset.subdivision * dataset.num_beats_per_bar
         self.max_context = dataset.n_bars
         self._np_rng = np.random.RandomState(kw.get("seed", 0) + 17)

@@ -207,6 +207,9 @@ class Trainer(ABC):
 
         def train_step(params, opt_state, batch_data, rng, extra):
             trainable = self.trainable_params(params)
+            # frozen auxiliaries (e.g. LatentRNN's frozen VAE — the
+            # dominant compute) follow the compute dtype too
+            extra = maybe_cast(extra) if extra is not None else None
 
             def loss_fn(tp):
                 full = maybe_cast(self.merge_params(params, tp))
@@ -221,6 +224,7 @@ class Trainer(ABC):
             return self.merge_params(params, trainable), opt_state, loss, metrics
 
         def eval_step(params, batch_data, rng, extra, row_mask=None):
+            extra = maybe_cast(extra) if extra is not None else None
             return self.loss_and_metrics(
                 maybe_cast(params), batch_data, rng, False, extra,
                 row_mask=row_mask,
@@ -312,9 +316,13 @@ class Trainer(ABC):
         figure with a display; a PNG under ``runs/`` headless) and also
         enables the JSONL metrics log."""
         log = log or plot
+        # multi-host: every process computes identically (SPMD), but only
+        # process 0 may touch the shared filesystem — concurrent writes to
+        # the same checkpoint/metrics paths corrupt them
+        is_writer = jax.process_index() == 0
         metrics_path = None
         live_plot = None
-        if log:
+        if log and is_writer:
             os.makedirs("runs", exist_ok=True)
             run_name = f"{type(self.model).__name__}_{int(time.time())}"
             metrics_path = os.path.join("runs", run_name + ".jsonl")
@@ -327,8 +335,15 @@ class Trainer(ABC):
         )
         print("Num Train Batches: ", len(generator_train))
         print("Num Valid Batches: ", len(generator_val))
-        for epoch_index in range(num_epochs):
-            self.epoch = epoch_index
+        # resume-aware: ``self.epoch`` counts COMPLETED epochs (0 for a
+        # fresh trainer; restored by load_state). The loop runs
+        # ``num_epochs`` MORE epochs with absolute numbering, so numbered
+        # checkpoints from a resumed run don't overwrite earlier ones and
+        # back-to-back train_model calls continue counting.
+        start_epoch = self.epoch
+        total_epochs = start_epoch + num_epochs
+        for i in range(num_epochs):
+            epoch_index = start_epoch + i
             self.update_scheduler(epoch_index)
             t0 = time.time()
             mean_loss_train, mean_accuracy_train = self.loss_and_acc_on_epoch(
@@ -338,9 +353,10 @@ class Trainer(ABC):
                 generator_val, epoch_index, train=False
             )
             dt = time.time() - t0
+            self.epoch = epoch_index + 1  # completed count, saved below
             data_element = {
                 "epoch_index": epoch_index,
-                "num_epochs": num_epochs,
+                "num_epochs": total_epochs,
                 "mean_loss_train": mean_loss_train,
                 "mean_accuracy_train": mean_accuracy_train,
                 "mean_loss_val": mean_loss_val,
@@ -353,10 +369,11 @@ class Trainer(ABC):
             if live_plot is not None:
                 live_plot.update(**data_element)
             self.print_epoch_stats(**data_element)
-            self.model.save()
-            self.save_state()
-            if epoch_index > 0 and epoch_index % 10 == 0:
-                self.model.save_checkpoint(epoch_index)
+            if is_writer:
+                self.model.save()
+                self.save_state()
+                if epoch_index > 0 and epoch_index % 10 == 0:
+                    self.model.save_checkpoint(epoch_index)
             if self.early_stopping:
                 self.early_stopper(mean_loss_val, self.model)
                 if self.early_stopper.early_stop:

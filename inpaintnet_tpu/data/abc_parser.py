@@ -270,10 +270,18 @@ def _expand_repeats(bars: List[_Bar]) -> List[_Bar]:
     repeat_start = 0  # index into `bars` where current section began
     i = 0
     pass_no = 1
+    just_jumped = False  # arrived at repeat_start via the jump-back?
     while i < len(bars):
         bar = bars[i]
-        if bar.repeat_start and pass_no == 1:
+        if bar.repeat_start and not just_jumped:
+            # a new ``|:`` ALWAYS starts a fresh section on pass 1 —
+            # reaching it with pass_no still 2 happens when the previous
+            # section's second ending finished on a plain barline (no
+            # :| or |]); without the reset, this section's [1 ending is
+            # skipped and its repeat never taken
             repeat_start = i
+            pass_no = 1
+        just_jumped = False
         if bar.ending and bar.ending != pass_no:
             # skip this ending's bars until repeat_end (for [1 on pass 2
             # this should not occur since we jump past it; for [2 on pass 1
@@ -289,6 +297,7 @@ def _expand_repeats(bars: List[_Bar]) -> List[_Bar]:
             if pass_no == 1:
                 i = repeat_start
                 pass_no = 2
+                just_jumped = True
                 continue
             else:
                 pass_no = 1
@@ -323,6 +332,11 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
         if not line:
             continue
         m = re.match(r"^([A-Za-z]):(.*)$", line)
+        if (m and in_body and m.group(1) not in "wW"
+                and m.group(2).lstrip().startswith("|")):
+            # a MUSIC line like 'E:| ...' — one note completing a bar at
+            # line start before a repeat-end — not an info field
+            m = None
         if m and (not in_body or m.group(1) in "KLMV"):
             key, val = m.group(1), m.group(2).strip()
             if key == "w":
@@ -392,6 +406,11 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
             m = _ENDING_RE.match(body, i)
             if m and m.group(1):
                 parser.handle_ending(int(m.group(1)))
+                i = m.end()
+                continue
+            m = _BARLINE_RE.match(body, i)
+            if m:  # the '[|' thick-thin barline (valid ABC)
+                parser.handle_barline(m.group(0))
                 i = m.end()
                 continue
             raise AbcParseError(f"chords/unsupported '[' construct at {i}: {body[i:i+12]!r}")

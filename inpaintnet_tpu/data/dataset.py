@@ -98,11 +98,19 @@ class PrefetchIterator:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         sentinel = object()
+        error: list = []
 
         def worker():
-            for item in self.inner:
-                q.put(item)
-            q.put(sentinel)
+            # the sentinel must reach the queue even when the inner
+            # iterator raises — otherwise the consumer's q.get() blocks
+            # forever and training hangs instead of surfacing the error
+            try:
+                for item in self.inner:
+                    q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                error.append(e)
+            finally:
+                q.put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -112,6 +120,8 @@ class PrefetchIterator:
                 break
             yield item
         t.join()
+        if error:
+            raise error[0]
 
 
 class MusicDataset(ABC):
@@ -141,9 +151,19 @@ class MusicDataset(ABC):
         ...
 
     # --- cache ----------------------------------------------------------- #
+    def _store_key_extra(self) -> str:
+        """Cache-identity material BEYOND ``repr`` (which also names
+        checkpoints and must stay reference-shaped). Subclasses append
+        anything that changes the built arrays without changing the model
+        config — e.g. the split seed (a seed-1 'test' build must NOT load
+        the seed-0 store: that would silently evaluate on seed-0 train
+        files) and the corpus location."""
+        return ""
+
     @property
     def store_path(self) -> str:
-        digest = hashlib.sha1(repr(self).encode()).hexdigest()[:12]
+        key = repr(self) + self._store_key_extra()
+        digest = hashlib.sha1(key.encode()).hexdigest()[:12]
         return os.path.join(self.cache_dir, f"{type(self).__name__}_{digest}.npz")
 
     @property
@@ -219,6 +239,12 @@ class FolkDataset(MusicDataset):
         self._vocab: Optional[Vocabulary] = None
         self.dicts_dir = os.path.join(self.cache_dir, "dicts")
         os.makedirs(self.dicts_dir, exist_ok=True)
+
+    def _store_key_extra(self) -> str:
+        # the corpus location changes the built arrays but not the
+        # model-facing repr
+        gen = self.corpus_it_gen
+        return f"|{getattr(gen, 'raw_dir', '')}" if gen else ""
 
     def __repr__(self):
         return (
@@ -498,6 +524,10 @@ class FolkDatasetNBars(FolkMeasuresDataset):
             f"{[m.name for m in self.metadatas]})"
             f"{self.num_melodies}_{self.dataset_type}"
         )
+
+    def _store_key_extra(self) -> str:
+        # the split seed changes which files land in train/test
+        return super()._store_key_extra() + f"|seed{self.split_seed}"
 
     @property
     def split_manifest_path(self) -> str:

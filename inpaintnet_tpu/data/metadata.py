@@ -103,12 +103,17 @@ class IsPlayingMetadata(Metadata):
         self.name = "isplaying"
 
     def evaluate(self, score: Score, subdivision: int) -> np.ndarray:
+        from inpaintnet_tpu.data.tokenizer import offset_to_tick
+
         length = int(score.highest_time * subdivision)
         out = np.ones((length,), dtype=np.int64)
         for n in score.notes:
             if n.is_rest and float(n.duration) * subdivision >= self.min_num_ticks:
-                start = int(n.offset * subdivision)
-                end = int(n.end * subdivision)
+                # the 6-tick beat grid is UNEQUAL (0,1/4,1/3,1/2,2/3,3/4)
+                # so int(offset*subdivision) mis-indexes the 2/3 and 3/4
+                # positions (int(4.5)=4 would wrongly zero tick 4)
+                start = offset_to_tick(n.offset, subdivision)
+                end = offset_to_tick(n.end, subdivision)
                 out[start:end] = 0
         return out
 

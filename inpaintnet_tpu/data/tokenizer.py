@@ -56,6 +56,23 @@ def tick_durations(tick_values: Sequence[Fraction] = TICK_VALUES) -> List[Fracti
 
 TICK_DURATIONS = tick_durations()
 
+
+def offset_to_tick(offset, subdivision: int = SUBDIVISION) -> int:
+    """Beat-fraction offset -> index on the UNEQUAL tick grid.
+
+    ``int(offset * subdivision)`` mis-indexes the 1/3-family positions
+    (offset 3/4 is tick 5 but int(4.5) = 4); map the fractional part onto
+    TICK_VALUES instead (floor to the grid position at or below it)."""
+    off = offset if isinstance(offset, Fraction) else Fraction(offset)
+    beat = int(off)
+    frac = off - beat
+    idx = 0
+    for j, tv in enumerate(TICK_VALUES):
+        if tv <= frac:
+            idx = j
+    return beat * subdivision + idx
+
+
 DEFAULT_PITCH_RANGE = (55, 84)  # folk_dataset.py:36
 
 

@@ -101,8 +101,11 @@ class LatentRNNTester:
         """Inpaint a random test sample (latent_rnn_tester.py:52-72)."""
         _, _, gen_test = self.dataset.data_loaders(batch_size=1, split=(0.70, 0.20))
         it = iter(gen_test)
+        # skip a random number of batches, then take the NEXT one (a draw
+        # of 0 previously left `batch` unassigned -> UnboundLocalError)
         for _ in range(self._np_rng.randint(0, max(1, len(gen_test)))):
-            batch = next(it)
+            next(it)
+        batch = next(it)
         m = split_to_measures(np.asarray(batch[0]), self.measure_seq_len)
         num_target = int(self._np_rng.randint(1, self.max_num_measure_target + 1))
         num_past = int(self._np_rng.randint(1, m.shape[1] - num_target - 1))
@@ -130,8 +133,9 @@ class LatentRNNTester:
         if tensor_score is None:
             score = next(self.dataset.iterator_gen())
             tensor_score, _ = self.dataset.transposed_score_and_metadata_tensors(score, 0)
-        else:
-            sequence_length_ticks = tensor_score.shape[1]
+        # validate the tick range against the ACTUAL tensor (a corpus-drawn
+        # tune's length differs from the 384-tick default)
+        sequence_length_ticks = np.asarray(tensor_score).shape[-1]
         if time_index_range_ticks is None:
             start_measure, num_measures_gen = 8, 2
         else:

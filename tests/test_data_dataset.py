@@ -129,3 +129,52 @@ def test_score_tensor_roundtrip_via_dataset(manager):
     back = ds.tensor_to_score(t)
     t2 = ds.get_score_tensor(back)
     np.testing.assert_array_equal(t, t2)
+
+
+def test_prefetch_iterator_propagates_errors():
+    """A raising inner iterator must surface the error, not deadlock the
+    consumer (the worker previously died without queueing the sentinel)."""
+    import pytest as _pytest
+
+    from inpaintnet_tpu.data.dataset import PrefetchIterator
+
+    class Boom:
+        batch_size = 1
+
+        def __len__(self):
+            return 3
+
+        def __iter__(self):
+            yield ("a",)
+            raise RuntimeError("inner failure")
+
+    it = PrefetchIterator(Boom())
+    got = []
+    with _pytest.raises(RuntimeError, match="inner failure"):
+        for item in it:
+            got.append(item)
+    assert got == [("a",)]
+
+
+def test_store_path_distinguishes_split_seed_and_corpus(tmp_path):
+    """Different split seeds (and corpus dirs) must NOT share a cached
+    tensor store — a seed-1 'test' build loading the seed-0 store would
+    silently evaluate on seed-0 train files."""
+    from inpaintnet_tpu.data.corpus import FolkCorpus
+    from inpaintnet_tpu.data.dataset import FolkDatasetNBars
+    from inpaintnet_tpu.data.synthetic import generate_corpus
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    generate_corpus(str(corpus), num_tunes=4, num_bars=16, seed=3)
+
+    def build(seed):
+        gen = FolkCorpus(raw_dir=str(corpus), cache_dir=str(tmp_path / "cache"))
+        return FolkDatasetNBars(
+            name="t", corpus_it_gen=gen, metadatas=[],
+            cache_dir=str(tmp_path / "cache"), num_bars=16, train=True,
+            split_seed=seed,
+        )
+    d0, d1 = build(0), build(1)
+    assert repr(d0) == repr(d1)  # model-facing identity unchanged
+    assert d0.store_path != d1.store_path  # cache identity differs

@@ -183,3 +183,40 @@ def test_enharmonic_fallback():
     )
     t2 = score_to_tensor(score2, vocab, pitch_range=(0, 127))
     assert vocab.token(t2[0]) == "OOR"
+
+
+def test_offset_to_tick_unequal_grid():
+    """int(offset*6) mis-indexes the 1/3-family grid positions; the
+    helper maps the fractional part onto TICK_VALUES."""
+    from fractions import Fraction
+
+    from inpaintnet_tpu.data.tokenizer import TICK_VALUES, offset_to_tick
+
+    for beat in (0, 1, 3):
+        for j, tv in enumerate(TICK_VALUES):
+            assert offset_to_tick(beat + tv) == beat * 6 + j
+    # the motivating case: offset 3/4 is tick 5, int(4.5) would say 4
+    assert offset_to_tick(Fraction(3, 4)) == 5
+    assert offset_to_tick(Fraction(2, 3)) == 4
+
+
+def test_isplaying_metadata_rest_ticks():
+    """A >=min_num_ticks rest zeroes exactly its grid span — including
+    rests starting at the 2/3 / 3/4 positions."""
+    from fractions import Fraction
+
+    from inpaintnet_tpu.data.metadata import IsPlayingMetadata
+    from inpaintnet_tpu.data.score import Note, Pitch, Score
+
+    c4 = Pitch(step="C", alter=0, octave=4)
+    notes = [
+        Note(offset=Fraction(0), duration=Fraction(3, 4), pitch=c4),
+        Note(offset=Fraction(3, 4), duration=Fraction(5, 4), pitch=None),
+        Note(offset=Fraction(2), duration=Fraction(1), pitch=c4),
+    ]
+    score = Score(notes=notes, time_signature=(4, 4))
+    out = IsPlayingMetadata(min_num_ticks=2).evaluate(score, 6)
+    # rest spans ticks [5, 12); tick 4 (offset 2/3, note sounding) stays 1
+    assert out[4] == 1
+    assert (out[5:12] == 0).all()
+    assert out[12] == 1

@@ -150,3 +150,33 @@ def test_eval_report(env, tmp_path):
     assert "LatentRNN (InpaintNet) inpainting" in doc
     assert "Inpainting sample 0" in doc
     assert "X:1" in doc  # embedded ABC
+
+
+def test_latent_rnn_generation_test_first_batch(env):
+    """generation_test with the skip-ahead drawing 0 (forced via a 1-draw
+    rng) must still take a batch (previously UnboundLocalError)."""
+    ds, vae, ckpt = env
+    model = LatentRNN(
+        ds, vae, num_rnn_layers=2, rnn_hidden_size=16, dropout=0.0,
+        auto_reg=False, checkpoint_dir=ckpt,
+    )
+    model.init(jax.random.PRNGKey(7))
+    tester = LatentRNNTester(ds, model)
+    tester._np_rng = np.random.RandomState(0)
+
+    class _ZeroFirst:
+        """randint that returns 0 for the skip draw, then real draws."""
+
+        def __init__(self, rng):
+            self._rng = rng
+            self._first = True
+
+        def randint(self, lo, hi=None):
+            if self._first:
+                self._first = False
+                return 0
+            return self._rng.randint(lo, hi)
+
+    tester._np_rng = _ZeroFirst(np.random.RandomState(1))
+    gen_score, gen_tensor, _ = tester.generation_test()
+    assert gen_tensor is not None

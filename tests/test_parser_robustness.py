@@ -230,3 +230,41 @@ def test_stale_sidecarless_valid_list_rebuilt(tmp_path):
     assert names == ["tune_0.abc"]  # re-scanned, not the stale content
     meta = (cache / "FolkItGen([(4,4)])valid_filepaths.txt.meta").read_text()
     assert meta.strip() == f"filter_version={FILTER_VERSION}"
+
+
+def test_repeat_reset_after_second_ending_plain_bar():
+    """A second ending that finishes on a PLAIN barline must reset the
+    pass counter: the next |: section's [1 ending plays and its repeat is
+    taken (previously C D C E F A — G lost, second repeat skipped)."""
+    from inpaintnet_tpu.data.abc_parser import parse_abc
+
+    tune = ("X:1\nT:t\nM:4/4\nL:1/4\nK:C\n"
+            "|: C4 |1 D4 :|[2 E4 | |: F4 |1 G4 :|[2 A4 |]\n")
+    steps = [n.pitch.step for n in parse_abc(tune).notes]
+    assert steps == ["C", "D", "C", "E", "F", "G", "F", "A"], steps
+
+
+def test_thick_thin_barline_accepted():
+    """'[|' is a valid ABC barline (previously raised as an unsupported
+    '[' construct even though _BARLINE_RE matches it)."""
+    from inpaintnet_tpu.data.abc_parser import parse_abc
+
+    tune = "X:1\nT:t\nM:4/4\nL:1/4\nK:C\nC D E F [| G A G A |]\n"
+    steps = [n.pitch.step for n in parse_abc(tune).notes]
+    assert steps == ["C", "D", "E", "F", "G", "A", "G", "A"]
+
+
+def test_body_line_starting_note_colon_is_music():
+    """'E:| ...' at line start is one note completing a bar before a
+    repeat-end — not an info field (previously the whole line of music
+    was silently dropped)."""
+    from inpaintnet_tpu.data.abc_parser import parse_abc
+
+    tune = "X:1\nT:t\nM:4/4\nL:1/4\nK:C\n|: C4\nE:| F4 F4 F4 F4 |]\n"
+    steps = [n.pitch.step for n in parse_abc(tune).notes]
+    # repeat: C E C E, then the F bar
+    assert steps == ["C", "E", "C", "E", "F", "F", "F", "F"], steps
+    # real body info lines still dropped
+    tune2 = "X:1\nT:t\nM:4/4\nL:1/4\nK:C\nC4 C4 C4 C4 |\nN: comment\nD4 D4 D4 D4 |]\n"
+    steps2 = [n.pitch.step for n in parse_abc(tune2).notes]
+    assert steps2 == ["C"] * 4 + ["D"] * 4

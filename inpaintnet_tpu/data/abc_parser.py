@@ -317,12 +317,16 @@ _BARLINE_RE = re.compile(r"::|:\|\]?|\|\|:?|\[\||\|\]|\|:|\|")
 _ENDING_RE = re.compile(r"\[([12])|\|([12])")
 
 
-def parse_abc(text: str, expand_repeats: bool = True) -> Score:
+def parse_abc(text: str, expand_repeats: bool = True,
+              return_both: bool = False):
     """Parse an ABC tune body into a :class:`Score`.
 
     :param text: full tune text including headers
     :param expand_repeats: expand ``|: :|`` and numbered endings (the
         reference always expands for the training pipeline).
+    :param return_both: return ``(unexpanded, expanded)`` from ONE
+        tokenization pass — the validity filter needs both views and
+        tokenizing twice doubled the cold corpus-scan cost.
     """
     headers: Dict[str, str] = {}
     body_lines: List[str] = []
@@ -499,25 +503,30 @@ def parse_abc(text: str, expand_repeats: bool = True) -> Score:
         i += 1
 
     bars = [b for b in parser.bars if b.events]
+
+    def materialize(bs: List[_Bar]) -> Score:
+        # quarter-note offsets, recording written-bar durations
+        notes: List[Note] = []
+        bar_durations: List[Fraction] = []
+        offset = Fraction(0)
+        for bar in bs:
+            bar_start = offset
+            for ev in bar.events:
+                dur = ev.duration  # already in quarterLengths
+                if dur <= 0:
+                    raise AbcParseError("zero or negative note duration")
+                notes.append(Note(offset, dur, ev.pitch, ev.tie))
+                offset += dur
+            bar_durations.append(offset - bar_start)
+        return Score(
+            notes=notes,
+            time_signature=initial_time_sig,
+            title=headers.get("T", ""),
+            bar_durations=bar_durations,
+        )
+
+    if return_both:
+        return materialize(bars), materialize(_expand_repeats(bars))
     if expand_repeats:
         bars = _expand_repeats(bars)
-
-    # materialize to quarter-note offsets, recording written-bar durations
-    notes: List[Note] = []
-    bar_durations: List[Fraction] = []
-    offset = Fraction(0)
-    for bar in bars:
-        bar_start = offset
-        for ev in bar.events:
-            dur = ev.duration  # already in quarterLengths
-            if dur <= 0:
-                raise AbcParseError("zero or negative note duration")
-            notes.append(Note(offset, dur, ev.pitch, ev.tie))
-            offset += dur
-        bar_durations.append(offset - bar_start)
-    return Score(
-        notes=notes,
-        time_signature=initial_time_sig,
-        title=headers.get("T", ""),
-        bar_durations=bar_durations,
-    )
+    return materialize(bars)

@@ -201,7 +201,9 @@ class FolkCorpus:
         if _tune_has_multiple_time_sigs(text):
             return False
         try:
-            score = parse_abc(text, expand_repeats=False)
+            # ONE tokenization pass yields both views (the expanded score
+            # must match get_score_from_path(fix_and_expand=True) exactly)
+            score, expanded = parse_abc(text, return_both=True)
             if tuple(score.time_signature) not in self.time_sigs:
                 return False
             if not score.pitches_midi():
@@ -210,7 +212,7 @@ class FolkCorpus:
                 return False
             if _has_forbidden_durations(score):
                 return False
-            expanded = self.get_score_from_path(path, fix_and_expand=True)
+            expanded = expanded.fix_pick_up_measure().fix_last_measure()
             if not expanded.on_ticks(TICK_VALUES):
                 return False
         except (AbcParseError, ValueError, ZeroDivisionError, KeyError, IndexError):

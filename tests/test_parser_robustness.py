@@ -268,3 +268,22 @@ def test_body_line_starting_note_colon_is_music():
     tune2 = "X:1\nT:t\nM:4/4\nL:1/4\nK:C\nC4 C4 C4 C4 |\nN: comment\nD4 D4 D4 D4 |]\n"
     steps2 = [n.pitch.step for n in parse_abc(tune2).notes]
     assert steps2 == ["C"] * 4 + ["D"] * 4
+
+
+def test_parse_abc_return_both_matches_separate_parses():
+    """The single-pass (unexpanded, expanded) views equal two separate
+    parses — the validity filter's semantics are unchanged by the
+    single-tokenization optimization."""
+    from inpaintnet_tpu.data.abc_parser import parse_abc
+
+    tune = ("X:1\nT:t\nM:4/4\nL:1/8\nK:D\n"
+            "|: D2 F2 A2 d2 |1 e2 f2 e2 d2 :|[2 B2 A2 F2 D2 |]\n")
+    un, ex = parse_abc(tune, return_both=True)
+    un_ref = parse_abc(tune, expand_repeats=False)
+    ex_ref = parse_abc(tune, expand_repeats=True)
+    assert [ (n.offset, n.duration, n.pitch) for n in un.notes ] == \
+           [ (n.offset, n.duration, n.pitch) for n in un_ref.notes ]
+    assert [ (n.offset, n.duration, n.pitch) for n in ex.notes ] == \
+           [ (n.offset, n.duration, n.pitch) for n in ex_ref.notes ]
+    assert un.bar_durations == un_ref.bar_durations
+    assert ex.bar_durations == ex_ref.bar_durations

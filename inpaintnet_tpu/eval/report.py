@@ -79,9 +79,7 @@ def build_report(
 
     report = EvalReport()
     if vae_tester is not None:
-        loss, acc = vae_tester.loss_and_acc_test(
-            vae_tester.dataset.data_loaders(batch_size, split=(0.01, 0.01))[2]
-        )
+        loss, acc = vae_tester.test_model(batch_size)
         report.add_metrics(
             "MeasureVAE reconstruction",
             {"test NLL": loss, "test accuracy": acc},
@@ -95,9 +93,7 @@ def build_report(
             except Exception as e:  # noqa: BLE001 — plots are best-effort
                 report.add_note(f"latent plot unavailable: {e}")
     if latent_tester is not None:
-        loss, acc = latent_tester.loss_and_acc_test(
-            latent_tester.dataset.data_loaders(batch_size, split=(0.01, 0.01))[2]
-        )
+        loss, acc = latent_tester.test_model(batch_size)
         report.add_metrics(
             "LatentRNN (InpaintNet) inpainting",
             {"test NLL": loss, "test accuracy": acc},
@@ -109,9 +105,7 @@ def build_report(
             if orig is not None and i == 0:
                 report.add_abc("Original for sample 0", write_abc(orig))
     if arnn_tester is not None:
-        loss, acc = arnn_tester.loss_and_acc_test(
-            arnn_tester.dataset.data_loaders(batch_size, split=(0.01, 0.01))[2]
-        )
+        loss, acc = arnn_tester.test_model(batch_size)
         report.add_metrics(
             "AnticipationRNN inpainting", {"test NLL": loss, "test accuracy": acc}
         )

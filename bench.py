@@ -183,6 +183,14 @@ def cpu_baseline() -> float:
         raise RuntimeError(f"cpu baseline failed: {out.stderr[-2000:]}")
     r = json.loads(line[-1][2:])
     r["signature"] = _baseline_signature()
+    r["iters"] = CPU_ITERS
+    # the denominator is measured at CPU_BATCH and assumed batch-linear up
+    # to the TPU batch (eager-CPU RNN stepping has no batching economies
+    # of scale at these sizes); recorded so vs_baseline stays honest
+    r["extrapolation"] = (
+        f"measured at batch {CPU_BATCH} x {CPU_ITERS} iters; assumed "
+        f"batch-linear vs the TPU batch ({BATCH})"
+    )
     with open(BASELINE_CACHE, "w") as f:
         json.dump(r, f)
     return r["measures_per_sec"]
@@ -211,6 +219,10 @@ def main():
                     "batch": result["batch"],
                     "step_ms": round(result["step_ms"], 2),
                     "serve_quant": result["serve_quant"],
+                    "cpu_baseline": (
+                        f"measured at batch {CPU_BATCH} x {CPU_ITERS} "
+                        "iters, extrapolated batch-linearly"
+                    ),
                 },
             }
         )

@@ -67,25 +67,38 @@ class InpaintingEngine:
         if mesh is not None:
             from inpaintnet_tpu.parallel.mesh import replicate
 
+            dp = mesh.shape["data"]
+            bad = [bk for bk in self.batch_buckets if bk % dp]
+            if bad:
+                raise ValueError(
+                    f"batch buckets {bad} do not divide the mesh 'data' "
+                    f"axis ({dp}); shard_map requires every bucket to "
+                    f"split evenly across data-parallel devices"
+                )
             params = replicate(mesh, params)
             vae_params = replicate(mesh, vae_params)
         self._params = params
         self._vae_params = vae_params
         self._compiled: Dict[int, object] = {}
 
-    # chunk seeds sit a large stride away from the user's seed so a
-    # chunked call never shares a PRNGKey with neighboring-seed calls
-    # (seed s chunk c uses s + (c+1)*STRIDE; plain calls use s itself)
-    _CHUNK_SEED_STRIDE = 1_000_003
-
-    def _run_chunked(self, call, b: int, seed: Optional[int]):
-        """Split an oversized batch at the largest bucket; single source
-        of truth for inpaint/inpaint_variations."""
-        mb = self.batch_buckets[-1]
+    def _seed_key(self, seed) -> jax.Array:
+        """Resolve a request ``seed`` (int, None => engine default, or an
+        already-derived PRNGKey from the chunking path) to a PRNGKey."""
         base = self.seed if seed is None else seed
+        if isinstance(base, (int, np.integer)):
+            return jax.random.PRNGKey(base)
+        return base
+
+    def _run_chunked(self, call, b: int, seed):
+        """Split an oversized batch at the largest bucket; single source
+        of truth for inpaint/inpaint_variations. Chunk keys are derived
+        via fold_in (NOT integer arithmetic on the seed, which could
+        collide with another request's plain seed)."""
+        mb = self.batch_buckets[-1]
+        base_key = self._seed_key(seed)
         return [
             call(lo, min(lo + mb, b),
-                 base + (lo // mb + 1) * self._CHUNK_SEED_STRIDE)
+                 jax.random.fold_in(base_key, lo // mb))
             for lo in range(0, b, mb)
         ]
 
@@ -150,14 +163,23 @@ class InpaintingEngine:
             self._compiled[bucket] = jax.jit(self._fn())
         return bucket, self._compiled[bucket]
 
-    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
-        """Pre-compile (and run once) the inpaint program for the given
+    def warmup(self, buckets: Optional[Sequence[int]] = None,
+               variations: bool = True) -> None:
+        """Pre-compile (and run once) the serving programs for the given
         buckets (default: all) so the first real request doesn't pay the
-        compile. Runs a dummy 1-measure inpaint per bucket and blocks
-        until the result is on the host."""
+        compile. Covers both ``inpaint`` and (unless ``variations=False``)
+        the ``inpaint_variations`` encode/generate programs — jit caches
+        are per batch shape, so each bucket is warmed individually. Runs
+        a dummy 1-measure request per bucket and blocks until the result
+        is on the host."""
         for bucket in (buckets if buckets is not None else self.batch_buckets):
             tokens = np.zeros((bucket, self.n_bars, self.msl), np.int32)
             self.inpaint(tokens, start_measure=1, num_measures=1, seed=0)
+            if variations and not self.model.auto_reg:
+                self.inpaint_variations(
+                    tokens, start_measure=1, num_measures=1,
+                    num_variations=1, seed=0,
+                )
 
     def _pack_request(self, tokens: np.ndarray, start_measure: int,
                       num_measures: int, bucket: int):
@@ -215,7 +237,7 @@ class InpaintingEngine:
             tokens, start_measure, num_measures, bucket
         )
         past, pm, future, fm, tm = self._place_batch((past, pm, future, fm, tm))
-        key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        key = self._seed_key(seed)
         samples = np.asarray(
             fn(self._params, self._vae_params, past, pm, future, fm, tm, key)
         )
@@ -244,10 +266,11 @@ class InpaintingEngine:
         """
         if self.model.auto_reg:
             # autoregressive generation re-encodes its own samples; fall
-            # back to full passes
+            # back to full passes (per-variation keys via fold_in)
+            base_key = self._seed_key(seed)
             return np.stack([
                 self.inpaint(tokens, start_measure, num_measures,
-                             seed=(self.seed if seed is None else seed) + i)
+                             seed=jax.random.fold_in(base_key, i))
                 for i in range(num_variations)
             ])
         tokens = np.asarray(tokens)
@@ -309,7 +332,7 @@ class InpaintingEngine:
             self._compiled["enc_dists"] = jax.jit(enc_dists)
             self._compiled["gen_dists"] = jax.jit(gen_dists)
         pd, fd = self._compiled["enc_dists"](self._vae_params, past, future)
-        base = jax.random.PRNGKey(self.seed if seed is None else seed)
+        base = self._seed_key(seed)
         keys = list(np.asarray(jax.random.split(base, num_variations)))
         outs = []
         for key in keys:

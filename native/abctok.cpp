@@ -239,9 +239,19 @@ std::vector<Bar> expand_repeats(const std::vector<Bar>& bars) {
   std::vector<Bar> out;
   size_t repeat_start = 0, i = 0;
   int pass = 1;
+  bool just_jumped = false;  // arrived at repeat_start via the jump-back?
   while (i < bars.size()) {
     const Bar& bar = bars[i];
-    if (bar.repeat_start && pass == 1) repeat_start = i;
+    if (bar.repeat_start && !just_jumped) {
+      // a new |: ALWAYS starts a fresh section on pass 1 — reaching it
+      // with pass still 2 happens when the previous section's second
+      // ending finished on a plain barline (no :| or |]); without the
+      // reset this section's [1 ending is skipped and its repeat is
+      // never taken (mirrors abc_parser.py _expand_repeats)
+      repeat_start = i;
+      pass = 1;
+    }
+    just_jumped = false;
     if (bar.ending && bar.ending != pass) {
       while (i < bars.size()) {
         if (bars[i].repeat_end || bars[i].section_end) { ++i; break; }
@@ -251,7 +261,7 @@ std::vector<Bar> expand_repeats(const std::vector<Bar>& bars) {
     }
     out.push_back(bar);
     if (bar.repeat_end) {
-      if (pass == 1) { i = repeat_start; pass = 2; continue; }
+      if (pass == 1) { i = repeat_start; pass = 2; just_jumped = true; continue; }
       pass = 1; ++i; repeat_start = i; continue;
     }
     if (bar.section_end) { pass = 1; repeat_start = i + 1; }
@@ -294,7 +304,15 @@ Tune parse_abc(const std::string& text, bool expand) {
     std::string line = pct == std::string::npos ? raw : raw.substr(0, pct);
     while (!line.empty() && isspace((unsigned char)line.back())) line.pop_back();
     if (line.empty()) continue;
-    if (line.size() >= 2 && isalpha((unsigned char)line[0]) && line[1] == ':' &&
+    bool is_field = line.size() >= 2 && isalpha((unsigned char)line[0]) && line[1] == ':';
+    // a MUSIC line like 'E:| ...' — one note completing a bar at line
+    // start before a repeat-end — is body content, not an info field
+    // (mirrors abc_parser.py parse_abc's in-body heuristic)
+    if (is_field && in_body && line[0] != 'w' && line[0] != 'W') {
+      size_t st = line.find_first_not_of(" \t\v\f\r\n", 2);
+      if (st != std::string::npos && line[st] == '|') is_field = false;
+    }
+    if (is_field &&
         (!in_body || std::string("KLMV").find(line[0]) != std::string::npos)) {
       char key = line[0];
       std::string val = line.substr(2);
@@ -318,7 +336,7 @@ Tune parse_abc(const std::string& text, bool expand) {
       if (key == 'K') in_body = true;
       continue;
     }
-    if (in_body && line.size() >= 2 && isalpha((unsigned char)line[0]) && line[1] == ':')
+    if (in_body && is_field)
       continue;  // other info lines (W: lyrics etc.) are not note content
     if (in_body) body_lines.push_back(line);
   }

@@ -48,14 +48,14 @@ def _all_texts():
     return texts
 
 
-@pytest.mark.parametrize("idx", range(4))
+@pytest.mark.parametrize("idx", range(6))
 def test_fixture_equivalence(idx):
     texts = _all_texts()
     _check(texts[idx])
 
 
 def test_synthetic_corpus_equivalence():
-    for text in _all_texts()[4:]:
+    for text in _all_texts()[6:]:
         _check(text)
 
 

@@ -234,6 +234,50 @@ def test_engine_warmup_precompiles_buckets(engine):
     assert out.shape == tokens.shape
 
 
+def test_engine_warmup_covers_variations(engine):
+    """warmup() pre-compiles the inpaint_variations enc/gen programs too:
+    the first real variations call must hit the jit caches, not compile."""
+    eng = InpaintingEngine(engine.model, batch_buckets=(4,), dtype="float32")
+    eng.warmup()
+    assert "enc_dists" in eng._compiled and "gen_dists" in eng._compiled
+    enc_n = eng._compiled["enc_dists"]._cache_size()
+    gen_n = eng._compiled["gen_dists"]._cache_size()
+    tokens = np.random.RandomState(6).randint(0, V, (4, 16, 24)).astype(np.int32)
+    out = eng.inpaint_variations(tokens, start_measure=4, num_measures=2,
+                                 num_variations=2, seed=3)
+    assert out.shape == (2,) + tokens.shape
+    assert eng._compiled["enc_dists"]._cache_size() == enc_n
+    assert eng._compiled["gen_dists"]._cache_size() == gen_n
+
+
+def test_engine_chunk_keys_fold_in(engine):
+    """Chunk PRNG keys are derived via fold_in on the base key — integer
+    arithmetic on the seed could collide with another request's plain
+    seed (identical streams across supposedly independent requests)."""
+    recorded = []
+    engine._run_chunked(
+        lambda lo, hi, k: recorded.append((lo, hi, k)) or
+        np.zeros((hi - lo, 1)), 9, 5,
+    )
+    assert [(lo, hi) for lo, hi, _ in recorded] == [(0, 4), (4, 8), (8, 9)]
+    base = jax.random.PRNGKey(5)
+    for c, (_, _, key) in enumerate(recorded):
+        np.testing.assert_array_equal(
+            np.asarray(key), np.asarray(jax.random.fold_in(base, c))
+        )
+
+
+def test_engine_mesh_rejects_nondividing_buckets(engine, devices8):
+    """A bucket that doesn't divide the mesh data axis fails fast at
+    construction with a clear message, not later inside shard_map."""
+    from inpaintnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(num_devices=8)
+    with pytest.raises(ValueError, match="data"):
+        InpaintingEngine(engine.model, batch_buckets=(1, 8),
+                         dtype="float32", mesh=mesh)
+
+
 def test_engine_mesh_sharded_serving(engine, devices8):
     """Data-parallel serving via shard_map: each shard's tokens EXACTLY
     equal a single-device run on that shard's rows with the shard-folded

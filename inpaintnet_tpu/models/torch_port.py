@@ -21,9 +21,13 @@ import numpy as np
 
 
 def _np(x) -> np.ndarray:
+    # always COPY: ``tensor.numpy()`` returns a view of the torch storage
+    # (and CPU jax can zero-copy-alias numpy buffers), so without a copy a
+    # later torch-side ``optimizer.step()`` would silently mutate the ported
+    # params in place
     if hasattr(x, "detach"):
-        return x.detach().cpu().numpy()
-    return np.asarray(x)
+        return x.detach().cpu().numpy().copy()
+    return np.array(x, copy=True)
 
 
 def _linear(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:

@@ -137,11 +137,34 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
         lats.append(time.perf_counter() - t0)
     p50_ms = sorted(lats)[len(lats) // 2] * 1e3
 
+    # DEVICE-side p50 of the same batch-1 step, from the profiler's device
+    # plane (the host number above is tunnel-RTT-bound; this one is the
+    # actual on-device execution span)
+    p50_dev_ms = None
+    try:
+        import tempfile
+
+        from inpaintnet_tpu.utils.profiling import (
+            device_event_durations,
+            trace,
+        )
+
+        with tempfile.TemporaryDirectory() as td:
+            with trace(td):
+                for i in range(10):
+                    fetch(inpaint(*small, lat_keys[1 + i]))
+            durs = device_event_durations(td, "inpaint")
+        if durs:
+            p50_dev_ms = durs[len(durs) // 2]
+    except Exception as e:  # noqa: BLE001 — profiling is best-effort
+        print(f"warning: device-side trace unavailable: {e}", file=sys.stderr)
+
     return {
         "platform": jax.devices()[0].platform,
         "measures_per_sec": measures_per_sec,
         "batch": batch,
         "p50_latency_ms_2measure": p50_ms,
+        "p50_device_ms_2measure": p50_dev_ms,
         "step_ms": dt * 1e3,
         "serve_quant": serve_quant,
     }
@@ -215,6 +238,11 @@ def main():
                     "platform": result["platform"],
                     "p50_latency_ms_2measure_b1": round(
                         result["p50_latency_ms_2measure"], 2
+                    ),
+                    "p50_device_ms_2measure_b1": (
+                        round(result["p50_device_ms_2measure"], 2)
+                        if result.get("p50_device_ms_2measure") is not None
+                        else None
                     ),
                     "batch": result["batch"],
                     "step_ms": round(result["step_ms"], 2),

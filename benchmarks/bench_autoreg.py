@@ -1,0 +1,113 @@
+"""Autoregressive serving-mode benchmark + decomposition (round-2 verdict
+#4: auto_reg >= 150k measures/s or a documented negative result).
+
+Measures the full auto_reg=True inpaint step at the bench workload
+(batch 2048, past 6 / target 4 / future 6, int8 serving), then the
+non-autoreg step for reference, then the isolated per-measure stages
+(decode at B rows, re-encode at B rows) to attribute the cost.
+
+Usage: python benchmarks/bench_autoreg.py [batch]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+N_PAST, N_TARGET, N_FUTURE = 6, 4, 6
+
+
+def timeit(fn, *args, iters=5, reps=6):
+    from inpaintnet_tpu.utils.timing import fetch
+
+    fetch(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        fetch(out)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def main():
+    import __graft_entry__ as g
+    from inpaintnet_tpu.models.base import cast_pytree
+    from inpaintnet_tpu.models.latent_rnn import LatentRNN
+    from inpaintnet_tpu.ops.quantize import serving_quant
+
+    ds, vae, model = g._build_models()
+    model.params = cast_pytree(model.params, jnp.bfloat16)
+    vae.params = cast_pytree(vae.params, jnp.bfloat16)
+    # an auto_reg view over the same VAE (generation weights re-initialized
+    # at auto_reg geometry; throughput is weight-value independent)
+    ar = LatentRNN(ds, vae, num_rnn_layers=2, rnn_hidden_size=512,
+                   dropout=0.5, auto_reg=True, max_target=6)
+    ar.init(jax.random.PRNGKey(7))
+    ar.params = cast_pytree(ar.params, jnp.bfloat16)
+
+    vocab = 60
+    rng = np.random.RandomState(0)
+    past = rng.randint(0, vocab, (BATCH, N_PAST, 24)).astype(np.int32)
+    future = rng.randint(0, vocab, (BATCH, N_FUTURE, 24)).astype(np.int32)
+    target = rng.randint(0, vocab, (BATCH, N_TARGET, 24)).astype(np.int32)
+    pm = np.ones((BATCH, N_PAST), np.float32)
+    fm = np.ones((BATCH, N_FUTURE), np.float32)
+    tm = np.ones((BATCH, N_TARGET), np.float32)
+    stage = jax.jit(lambda *xs: xs)
+    past, pm, future, fm, target, tm = stage(past, pm, future, fm, target, tm)
+    key = jax.random.PRNGKey(0)
+
+    def make_inpaint(m):
+        @jax.jit
+        def inpaint(params, vae_params, past, pm, future, fm, target, tm, k):
+            with serving_quant("int8"):
+                _, samples, _ = m.apply(
+                    params, vae_params, past, future, target,
+                    past_mask=pm, future_mask=fm, target_mask=tm,
+                    train=False, rng=k,
+                )
+            return samples
+
+        return inpaint
+
+    args = (past, pm, future, fm, target, tm)
+    t_nar = timeit(make_inpaint(model), model.params, vae.params, *args, key)
+    t_ar = timeit(make_inpaint(ar), ar.params, vae.params, *args, key)
+    print(f"non-autoreg step: {t_nar:7.2f} ms "
+          f"({BATCH * N_TARGET / t_nar * 1e3:,.0f} measures/s)")
+    print(f"auto_reg step:    {t_ar:7.2f} ms "
+          f"({BATCH * N_TARGET / t_ar * 1e3:,.0f} measures/s)")
+
+    # stage decomposition at per-measure shapes
+    z = jnp.asarray(rng.randn(BATCH, 256), jnp.bfloat16)
+    toks = jnp.asarray(rng.randint(0, vocab, (BATCH, 1, 24)), jnp.int32)
+
+    @jax.jit
+    def dec(vp, z, k):
+        with serving_quant("int8"):
+            return ar._decode_measures(vp, z, rng=k)[1]
+
+    @jax.jit
+    def enc(vp, t, k):
+        with serving_quant("int8"):
+            return ar.get_z_seq(vp, t, train=False, rng=k)
+
+    t_dec = timeit(dec, vae.params, z, key)
+    t_enc = timeit(enc, vae.params, toks, key)
+    print(f"per-measure decode  @ {BATCH}: {t_dec:6.2f} ms")
+    print(f"per-measure re-encode @ {BATCH}: {t_enc:6.2f} ms")
+    print(f"loop lower bound (4 x (dec+enc)): {4 * (t_dec + t_enc):6.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

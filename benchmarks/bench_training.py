@@ -1,0 +1,165 @@
+"""Training step-time / MFU quantification (round-2 verdict #6).
+
+Measures, on the live chip, at flagship model size:
+- MeasureVAE train step (batch 256 windows = 4096 measure rows), bf16+f32
+- LatentRNN train step (reference batch 32, plus 256)
+- the frozen-VAE encode inside LatentRNN training: fused kernel vs XLA
+  scan at the train-step row count — the measured basis for whether
+  kerneling the in-training frozen encode (which takes no gradients) is
+  worth carrying dropout masks into the kernel
+
+MFU denominator: analytic model FLOPs (3x forward for the train step;
+remat recompute excluded, so the true utilization is slightly higher).
+
+Usage: python benchmarks/bench_training.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, Z, E, V, T = 512, 256, 10, 60, 24
+PEAK_BF16 = 197e12  # v5e chip
+PEAK_F32 = 49e12
+
+
+def vae_fwd_flops_per_row() -> float:
+    """Matmul FLOPs of one measure row through the VAE forward."""
+    enc_l0 = 2 * T * 2 * (64 * 3 * H + H * 3 * H)  # one-hot + recurrent, 2 dirs
+    enc_l1 = 2 * T * 2 * (2 * H * 3 * H + H * 3 * H)
+    heads = 2 * 2 * (4 * H * 2 * H + 2 * H * Z)
+    dec_tick = 2 * T * ((E + H) * 3 * H + H * 3 * H + (H + H) * 3 * H + H * 3 * H)
+    dec_head = 2 * T * H * V
+    dec_misc = 2 * (Z * 2 * H + 4 * (H * 3 * H) * 2)
+    return enc_l0 + enc_l1 + heads + dec_tick + dec_head + dec_misc
+
+
+def timeit(fn, *args, iters=5, reps=5):
+    from inpaintnet_tpu.utils.timing import fetch
+
+    out = fn(*args)
+    fetch(jax.tree_util.tree_leaves(out)[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        fetch(jax.tree_util.tree_leaves(out)[0])
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def timeit_train_step(train_step, params, opt, bd, key, extra,
+                      iters=5, reps=5):
+    """Time the REAL jitted train step by threading the donated
+    (params, opt) through successive calls — wrapping it to return only
+    the loss would let XLA dead-code the entire backward + update."""
+    from inpaintnet_tpu.utils.timing import fetch
+
+    params, opt, loss, _ = train_step(params, opt, bd, key, extra)
+    fetch(loss)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt, loss, _ = train_step(params, opt, bd, key, extra)
+        fetch(loss)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def main():
+    from inpaintnet_tpu.models.presets import build_flagship
+    from inpaintnet_tpu.train import LatentRNNTrainer, VAETrainer
+    from inpaintnet_tpu.train.latent_rnn_trainer import pack_padded, split_score
+
+    class _DS:
+        note2index_dicts = [{f"t{i}": i for i in range(V)}]
+        n_bars = 16
+        subdivision = 6
+        num_beats_per_bar = 4
+
+        def __repr__(self):
+            return "BenchTrainDS"
+
+    ds = _DS()
+    _, vae, model = build_flagship(vocab_size=V, dataset=ds)
+    rs = np.random.RandomState(0)
+
+    print("=== MeasureVAE train step (batch 256 windows = 4096 rows) ===")
+    fwd = vae_fwd_flops_per_row()
+    for dtype in ("bfloat16", None):
+        tr = VAETrainer(ds, vae, lr=1e-4, compute_dtype=dtype)
+        tr._build_steps()
+        rows = 256 * 16
+        batch = rs.randint(0, V, (rows, T)).astype(np.int32)
+        from inpaintnet_tpu.parallel.mesh import replicate, shard_batch
+
+        params = replicate(tr.mesh, vae.params)
+        opt = tr.optimizer.init(vae.params)
+        bd = shard_batch(tr.mesh, batch)
+        key = jax.random.PRNGKey(0)
+        ms = timeit_train_step(tr._train_step, params, opt, bd, key, None)
+        tf = 3 * fwd * rows / (ms * 1e-3)
+        peak = PEAK_BF16 if dtype else PEAK_F32
+        name = dtype or "float32"
+        print(f"{name:9s} {ms:7.1f} ms/step  "
+              f"{rows / ms * 1e3:9,.0f} measures/s  "
+              f"{tf / 1e12:5.1f} TFLOP/s  MFU~{tf / peak * 100:4.1f}%")
+
+    print("=== LatentRNN train step (frozen VAE fwd + gen-path bwd) ===")
+    for batch_w in (32, 256):
+        tr = LatentRNNTrainer(ds, model, lr=1e-4, compute_dtype="bfloat16")
+        tr._build_steps()
+        score = rs.randint(0, V, (batch_w, 1, 16 * T)).astype(np.int32)
+        past, future, target = split_score(score, 4, 8, 4, T)
+        packed = pack_padded(past, future, target, 16, 6)
+        from inpaintnet_tpu.parallel.mesh import replicate, shard_batch
+
+        params = replicate(tr.mesh, model.params)
+        opt = tr.optimizer.init(model.params)
+        extra = replicate(tr.mesh, vae.params)
+        bd = shard_batch(tr.mesh, packed)
+        key = jax.random.PRNGKey(0)
+        ms = timeit_train_step(tr._train_step, params, opt, bd, key, extra)
+        print(f"batch {batch_w:4d} {ms:7.1f} ms/step  "
+              f"{batch_w * 4 / ms * 1e3:9,.0f} target measures/s")
+
+    print("=== frozen encode at LatentRNN train-step row counts ===")
+    # LatentRNN training encodes (past+future+target valid rows); at batch
+    # 32 that is ~<=512 rows. Kernel vs scan, eval-mode (the kernel carries
+    # no dropout; if it cannot win HERE it cannot win with masks added).
+    from inpaintnet_tpu.ops.encoder_pallas import encoder_hn_pallas
+    from inpaintnet_tpu.ops.gru import gru_apply
+    from inpaintnet_tpu.ops.linear import embedding_apply
+
+    enc_p = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), vae.params["encoder"]
+    )
+    for rows in (384, 512, 4096):
+        toks = jnp.asarray(rs.randint(0, V, (rows, T)), jnp.int32)
+
+        def scan_fn(p, t):
+            emb = embedding_apply(p["embedding"], t)
+            return gru_apply(p["gru"], emb, last_outputs=False)[1]
+
+        t_scan = timeit(jax.jit(scan_fn), enc_p, toks)
+        t_ker = timeit(
+            jax.jit(lambda p, t: encoder_hn_pallas(
+                p["gru"], p["embedding"]["table"], t)),
+            enc_p, toks,
+        )
+        print(f"rows {rows:5d}: XLA scan {t_scan:6.2f} ms   "
+              f"Pallas {t_ker:6.2f} ms   ({t_scan / t_ker:4.2f}x)")
+
+
+if __name__ == "__main__":
+    main()

@@ -243,7 +243,15 @@ class LatentRNN(Model):
         # the reference encodes it unconditionally (latent_rnn.py:133) but
         # in the non-autoreg config that work is dead (deliberate fix).
         max_future = future_context.shape[1]
-        need_target = self.auto_reg and target is not None
+        # z_target is consumed ONLY by the teacher-forcing branch, which is
+        # reachable only when train and use_teacher_forcing (the coin is a
+        # constant False otherwise) — and a dead branch's z_target cannot be
+        # DCE'd out of the FUSED encoder call, so gate it here (at serving
+        # this is 4 dead target measures of encoding per request)
+        need_target = (
+            self.auto_reg and target is not None
+            and train and self.use_teacher_forcing
+        )
         segments = [past_context, future_context]
         if need_target:
             segments.append(target)
@@ -333,13 +341,16 @@ class LatentRNN(Model):
         self, params, vae_params, context, target_mask, *, seed, train, rng
     ):
         """Sampled decode->re-encode loop (latent_rnn.py:241-260) as a
-        ``lax.scan`` over target measures."""
+        ``lax.scan`` over target measures, with the FINAL iteration peeled:
+        the last measure's re-encode feeds nothing (there is no next step),
+        so the peeled tail skips it — one full frozen-encoder pass saved
+        per call, exactness unchanged (the reference's loop computes it
+        too, latent_rnn.py:260, but its result is equally dead)."""
         batch = context.shape[1]
         max_t = target_mask.shape[1]
         step_keys = jax.random.split(rng, max_t)
 
-        def step(carry, key):
-            hidden, gen_in = carry
+        def gen_measure(hidden, gen_in, key):
             k_gru, k_dec, k_enc = jax.random.split(key, 3)
             gen_out, hidden = gru_apply(
                 params["generation_rnn"], gen_in, hidden,
@@ -347,13 +358,26 @@ class LatentRNN(Model):
             )
             z = linear_apply(params["generation_linear"], gen_out[:, 0, :])
             logits, samples = self._decode_measures(vae_params, z, rng=k_dec)
+            return hidden, k_enc, (logits, samples, z)
+
+        def step(carry, key):
+            hidden, gen_in = carry
+            hidden, k_enc, outs = gen_measure(hidden, gen_in, key)
             next_in = self.get_z_seq(
-                vae_params, samples[:, None, :], train=train, rng=k_enc
+                vae_params, outs[1][:, None, :], train=train, rng=k_enc
             )
-            return (hidden, next_in), (logits, samples, z)
+            return (hidden, next_in), outs
 
         carry0 = (context, seed)
-        _, (logits, samples, z_out) = lax.scan(step, carry0, step_keys)
+        (hidden, gen_in), (logits, samples, z_out) = lax.scan(
+            step, carry0, step_keys[:-1]
+        )
+        _, _, (logits_l, samples_l, z_l) = gen_measure(
+            hidden, gen_in, step_keys[-1]
+        )
+        logits = jnp.concatenate([logits, logits_l[None]], axis=0)
+        samples = jnp.concatenate([samples, samples_l[None]], axis=0)
+        z_out = jnp.concatenate([z_out, z_l[None]], axis=0)
         # (Mt, B, ...) -> (B, Mt, ...)
         return (
             jnp.transpose(logits, (1, 0, 2, 3)),

@@ -55,8 +55,12 @@ from inpaintnet_tpu.ops.quantize import dequantize_h, quantize_h_int8
 def _l0_kernel(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
                whh_f_ref, whh_b_ref, bih_ref, bhh_ref,
                ysf_ref, ysb_ref, hnf_ref, hnb_ref,
-               hf_scratch, hb_scratch, *, seq_len: int, hidden: int,
-               vocab_pad: int, out_dtype):
+               hf_scratch, hb_scratch, *, num_steps: int, hidden: int,
+               vocab_pad: int, out_dtype, k: int):
+    """``k`` = ticks per grid step (time tiling): the kernel unrolls k
+    sequential sub-steps per grid step, amortizing per-grid-step pipeline
+    overhead and widening the scheduler's window to interleave the two
+    directions' MXU/VPU phases. k=1 is the original formulation."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -64,39 +68,46 @@ def _l0_kernel(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
         hf_scratch[:] = jnp.zeros_like(hf_scratch)
         hb_scratch[:] = jnp.zeros_like(hb_scratch)
 
-    def direction(tok_ref, tab_ref, whh_ref, h_scratch, ys_ref, hn_ref, d):
-        tok = tok_ref[0, 0]  # (TILE_B,) int32
-        onehot = (
-            tok[:, None]
-            == lax.broadcasted_iota(jnp.int32, (tok.shape[0], vocab_pad), 1)
-        ).astype(tab_ref.dtype)
-        xw = (
-            jnp.dot(onehot, tab_ref[:], preferred_element_type=jnp.float32)
-            + bih_ref[d].astype(jnp.float32)
-        )
-        h = h_scratch[:].astype(jnp.float32)
-        hw = (
-            jnp.dot(h_scratch[:], whh_ref[:], preferred_element_type=jnp.float32)
-            + bhh_ref[d].astype(jnp.float32)
-        )
-        h_new = gru_gates_f32(xw, hw, h, hidden)
-        h_store = h_new.astype(out_dtype)
-        h_scratch[:] = h_store
-        ys_ref[0] = h_store
+    def direction(tok_ref, tab_ref, whh_ref, h_scratch, ys_ref, hn_ref, d,
+                  reverse):
+        for j in range(k):
+            # backward blocks cover DESCENDING times: sub-row k-1-j
+            row = k - 1 - j if reverse else j
+            tok = tok_ref[row, 0]  # (TILE_B,) int32
+            onehot = (
+                tok[:, None]
+                == lax.broadcasted_iota(jnp.int32, (tok.shape[0], vocab_pad), 1)
+            ).astype(tab_ref.dtype)
+            xw = (
+                jnp.dot(onehot, tab_ref[:], preferred_element_type=jnp.float32)
+                + bih_ref[d].astype(jnp.float32)
+            )
+            h = h_scratch[:].astype(jnp.float32)
+            hw = (
+                jnp.dot(h_scratch[:], whh_ref[:],
+                        preferred_element_type=jnp.float32)
+                + bhh_ref[d].astype(jnp.float32)
+            )
+            h_new = gru_gates_f32(xw, hw, h, hidden)
+            h_store = h_new.astype(out_dtype)
+            h_scratch[:] = h_store
+            ys_ref[row] = h_store
 
-        @pl.when(t == seq_len - 1)
+        @pl.when(t == num_steps - 1)
         def _():
-            hn_ref[:] = h_store
+            hn_ref[:] = h_store  # noqa: B023 — last sub-step's state
 
-    direction(tok_f_ref, tab_f_ref, whh_f_ref, hf_scratch, ysf_ref, hnf_ref, 0)
-    direction(tok_b_ref, tab_b_ref, whh_b_ref, hb_scratch, ysb_ref, hnb_ref, 1)
+    direction(tok_f_ref, tab_f_ref, whh_f_ref, hf_scratch, ysf_ref, hnf_ref,
+              0, False)
+    direction(tok_b_ref, tab_b_ref, whh_b_ref, hb_scratch, ysb_ref, hnb_ref,
+              1, True)
 
 
 def _l1_kernel(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
                wih_f_ref, wih_b_ref, whh_f_ref, whh_b_ref,
                bih_ref, bhh_ref,
                hnf_ref, hnb_ref, hf_scratch, hb_scratch,
-               *, seq_len: int, hidden: int, out_dtype):
+               *, num_steps: int, hidden: int, out_dtype, k: int):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -104,42 +115,52 @@ def _l1_kernel(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
         hf_scratch[:] = jnp.zeros_like(hf_scratch)
         hb_scratch[:] = jnp.zeros_like(hb_scratch)
 
-    def direction(x1_ref, x2_ref, wih_ref, whh_ref, h_scratch, hn_ref, d):
-        x = jnp.concatenate([x1_ref[0], x2_ref[0]], axis=-1)  # (TILE_B, 2H)
-        xw = (
-            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
-            + bih_ref[d].astype(jnp.float32)
-        )
-        h = h_scratch[:].astype(jnp.float32)
-        hw = (
-            jnp.dot(h_scratch[:], whh_ref[:], preferred_element_type=jnp.float32)
-            + bhh_ref[d].astype(jnp.float32)
-        )
-        h_new = gru_gates_f32(xw, hw, h, hidden)
-        h_store = h_new.astype(out_dtype)
-        h_scratch[:] = h_store
+    def direction(x1_ref, x2_ref, wih_ref, whh_ref, h_scratch, hn_ref, d,
+                  reverse):
+        for j in range(k):
+            row = k - 1 - j if reverse else j
+            x = jnp.concatenate([x1_ref[row], x2_ref[row]], axis=-1)
+            xw = (
+                jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
+                + bih_ref[d].astype(jnp.float32)
+            )
+            h = h_scratch[:].astype(jnp.float32)
+            hw = (
+                jnp.dot(h_scratch[:], whh_ref[:],
+                        preferred_element_type=jnp.float32)
+                + bhh_ref[d].astype(jnp.float32)
+            )
+            h_new = gru_gates_f32(xw, hw, h, hidden)
+            h_store = h_new.astype(out_dtype)
+            h_scratch[:] = h_store
 
-        @pl.when(t == seq_len - 1)
+        @pl.when(t == num_steps - 1)
         def _():
-            hn_ref[:] = h_store
+            hn_ref[:] = h_store  # noqa: B023 — last sub-step's state
 
-    direction(xf_f_ref, xb_f_ref, wih_f_ref, whh_f_ref, hf_scratch, hnf_ref, 0)
-    direction(xf_b_ref, xb_b_ref, wih_b_ref, whh_b_ref, hb_scratch, hnb_ref, 1)
+    direction(xf_f_ref, xb_f_ref, wih_f_ref, whh_f_ref, hf_scratch, hnf_ref,
+              0, False)
+    direction(xf_b_ref, xb_b_ref, wih_b_ref, whh_b_ref, hb_scratch, hnb_ref,
+              1, True)
 
 
 def encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int = 256,
+                      ticks_per_step: int = 1,
                       interpret: bool | None = None):
     """Public entry: resolves the interpret-mode env hook OUTSIDE jit so
     the resolved bool is part of the compilation cache key."""
     if interpret is None:
         interpret = interpret_default()
     return _encoder_hn_pallas(gru_params, emb_table, tokens,
-                              tile_b=tile_b, interpret=interpret)
+                              tile_b=tile_b, ticks_per_step=ticks_per_step,
+                              interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "ticks_per_step", "interpret")
+)
 def _encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int,
-                       interpret: bool):
+                       ticks_per_step: int, interpret: bool):
     """Final hidden states of the 2-layer bidirectional encoder GRU.
 
     :param gru_params: ``gru_init(E, H, 2, bidirectional=True)`` pytree
@@ -162,15 +183,18 @@ def _encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int,
 
     tab_f, tab_b = fused(p0f), fused(p0b)
 
+    k = ticks_per_step
+    assert seq_len % k == 0, (seq_len, k)
+    num_steps = seq_len // k
     tile_b = min(tile_b, round_up(batch, 8))
     padded_b = round_up(batch, tile_b)
     if padded_b != batch:
         tokens = jnp.pad(tokens, ((0, padded_b - batch), (0, 0)))
-    # (T, 1, B): leading time axis untiled (one block per grid step), the
-    # singleton keeps the last-two-dims tiling constraint satisfiable
+    # (T, 1, B): leading time axis tiled k-per-block; the singleton keeps
+    # the last-two-dims tiling constraint satisfiable
     tok_t = jnp.swapaxes(tokens, 0, 1).astype(jnp.int32)[:, None, :]
     n_tiles = padded_b // tile_b
-    grid = (n_tiles, seq_len)
+    grid = (n_tiles, num_steps)
     three_h = 3 * hidden
 
     def const(i, t):
@@ -180,16 +204,17 @@ def _encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int,
     bhh01 = jnp.stack([p0f["b_hh"], p0b["b_hh"]])
 
     l0 = functools.partial(
-        _l0_kernel, seq_len=seq_len, hidden=hidden, vocab_pad=vocab_pad,
-        out_dtype=dtype,
+        _l0_kernel, num_steps=num_steps, hidden=hidden, vocab_pad=vocab_pad,
+        out_dtype=dtype, k=k,
     )
     ysf, ysb, hn0f, hn0b = pl.pallas_call(
         l0,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tile_b), lambda i, t: (t, 0, i),
+            pl.BlockSpec((k, 1, tile_b), lambda i, t: (t, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_b), lambda i, t: (seq_len - 1 - t, 0, i),
+            pl.BlockSpec((k, 1, tile_b),
+                         lambda i, t: (num_steps - 1 - t, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((vocab_pad, three_h), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((vocab_pad, three_h), const, memory_space=pltpu.VMEM),
@@ -199,9 +224,10 @@ def _encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int,
             pl.BlockSpec((2, three_h), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_b, hidden), lambda i, t: (t, i, 0),
+            pl.BlockSpec((k, tile_b, hidden), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_b, hidden), lambda i, t: (seq_len - 1 - t, i, 0),
+            pl.BlockSpec((k, tile_b, hidden),
+                         lambda i, t: (num_steps - 1 - t, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -224,12 +250,12 @@ def _encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int,
     bih11 = jnp.stack([p1f["b_ih"], p1b["b_ih"]])
     bhh11 = jnp.stack([p1f["b_hh"], p1b["b_hh"]])
     l1 = functools.partial(
-        _l1_kernel, seq_len=seq_len, hidden=hidden, out_dtype=dtype,
+        _l1_kernel, num_steps=num_steps, hidden=hidden, out_dtype=dtype, k=k,
     )
-    ys_spec_fwd = pl.BlockSpec((1, tile_b, hidden), lambda i, t: (t, i, 0),
+    ys_spec_fwd = pl.BlockSpec((k, tile_b, hidden), lambda i, t: (t, i, 0),
                                memory_space=pltpu.VMEM)
     ys_spec_bwd = pl.BlockSpec(
-        (1, tile_b, hidden), lambda i, t: (seq_len - 1 - t, i, 0),
+        (k, tile_b, hidden), lambda i, t: (num_steps - 1 - t, i, 0),
         memory_space=pltpu.VMEM,
     )
     hn1f, hn1b = pl.pallas_call(
@@ -283,8 +309,8 @@ def _encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int,
 def _l0_kernel_int8(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
                     whh_f_ref, whh_b_ref, scales_ref, bih_ref, bhh_ref,
                     ysf_ref, ysb_ref, hnf_ref, hnb_ref,
-                    hf_scratch, hb_scratch, *, seq_len: int, hidden: int,
-                    vocab_pad: int, out_dtype):
+                    hf_scratch, hb_scratch, *, num_steps: int, hidden: int,
+                    vocab_pad: int, out_dtype, k: int):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -292,8 +318,8 @@ def _l0_kernel_int8(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
         hf_scratch[:] = jnp.zeros_like(hf_scratch)
         hb_scratch[:] = jnp.zeros_like(hb_scratch)
 
-    def direction(tok_ref, tab_ref, whh_ref, h_scratch, ys_ref, hn_ref, d):
-        tok = tok_ref[0, 0]  # (TILE_B,) int32
+    def matmuls(tok_ref, tab_ref, whh_ref, h_scratch, d, row):
+        tok = tok_ref[row, 0]  # (TILE_B,) int32
         onehot = (
             tok[:, None]
             == lax.broadcasted_iota(jnp.int32, (tok.shape[0], vocab_pad), 1)
@@ -313,25 +339,38 @@ def _l0_kernel_int8(tok_f_ref, tok_b_ref, tab_f_ref, tab_b_ref,
             * scales_ref[2 * d + 1]
             + bhh_ref[d].astype(jnp.float32)
         )
-        h = dequantize_h(h_q)
-        h_new = gru_gates_f32(xw, hw, h, hidden)
-        h_store = quantize_h_int8(h_new)
-        h_scratch[:] = h_store
-        ys_ref[0] = h_store
+        return xw, hw, dequantize_h(h_q)
 
-        @pl.when(t == seq_len - 1)
-        def _():
-            hn_ref[:] = h_new.astype(out_dtype)
+    # interleave the two directions EXPLICITLY: issue both directions'
+    # MXU contractions before either direction's VPU gate math, so the
+    # backward matmuls can execute under the forward gates (measured: the
+    # sequential f-matmul/f-gates/b-matmul/b-gates ordering exposed ~7 ms
+    # of VPU time per serving call that bf16 — slower MXU — fully hid)
+    h_new_f = h_new_b = None
+    for j in range(k):
+        row_f, row_b = j, k - 1 - j
+        mm_f = matmuls(tok_f_ref, tab_f_ref, whh_f_ref, hf_scratch, 0, row_f)
+        mm_b = matmuls(tok_b_ref, tab_b_ref, whh_b_ref, hb_scratch, 1, row_b)
+        h_new_f = gru_gates_f32(*mm_f, hidden)
+        store_f = quantize_h_int8(h_new_f)
+        hf_scratch[:] = store_f
+        ysf_ref[row_f] = store_f
+        h_new_b = gru_gates_f32(*mm_b, hidden)
+        store_b = quantize_h_int8(h_new_b)
+        hb_scratch[:] = store_b
+        ysb_ref[row_b] = store_b
 
-    direction(tok_f_ref, tab_f_ref, whh_f_ref, hf_scratch, ysf_ref, hnf_ref, 0)
-    direction(tok_b_ref, tab_b_ref, whh_b_ref, hb_scratch, ysb_ref, hnb_ref, 1)
+    @pl.when(t == num_steps - 1)
+    def _():
+        hnf_ref[:] = h_new_f.astype(out_dtype)
+        hnb_ref[:] = h_new_b.astype(out_dtype)
 
 
 def _l1_kernel_int8(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
                     wih_f_ref, wih_b_ref, whh_f_ref, whh_b_ref,
                     scales_ref, bih_ref, bhh_ref,
                     hnf_ref, hnb_ref, hf_scratch, hb_scratch,
-                    *, seq_len: int, hidden: int, out_dtype):
+                    *, num_steps: int, hidden: int, out_dtype, k: int):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -339,8 +378,8 @@ def _l1_kernel_int8(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
         hf_scratch[:] = jnp.zeros_like(hf_scratch)
         hb_scratch[:] = jnp.zeros_like(hb_scratch)
 
-    def direction(x1_ref, x2_ref, wih_ref, whh_ref, h_scratch, hn_ref, d):
-        x = jnp.concatenate([x1_ref[0], x2_ref[0]], axis=-1)  # int8 (TILE_B, 2H)
+    def matmuls(x1_ref, x2_ref, wih_ref, whh_ref, h_scratch, d, row):
+        x = jnp.concatenate([x1_ref[row], x2_ref[row]], axis=-1)
         xw = (
             jnp.dot(x, wih_ref[:], preferred_element_type=jnp.int32)
             .astype(jnp.float32)
@@ -354,20 +393,31 @@ def _l1_kernel_int8(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
             * scales_ref[2 * d + 1]
             + bhh_ref[d].astype(jnp.float32)
         )
-        h = dequantize_h(h_q)
-        h_new = gru_gates_f32(xw, hw, h, hidden)
-        h_scratch[:] = quantize_h_int8(h_new)
+        return xw, hw, dequantize_h(h_q)
 
-        @pl.when(t == seq_len - 1)
-        def _():
-            hn_ref[:] = h_new.astype(out_dtype)
+    # both directions' MXU work issued before either's VPU gates (see the
+    # l0 kernel comment)
+    h_new_f = h_new_b = None
+    for j in range(k):
+        row_f, row_b = j, k - 1 - j
+        mm_f = matmuls(xf_f_ref, xb_f_ref, wih_f_ref, whh_f_ref,
+                       hf_scratch, 0, row_f)
+        mm_b = matmuls(xf_b_ref, xb_b_ref, wih_b_ref, whh_b_ref,
+                       hb_scratch, 1, row_b)
+        h_new_f = gru_gates_f32(*mm_f, hidden)
+        hf_scratch[:] = quantize_h_int8(h_new_f)
+        h_new_b = gru_gates_f32(*mm_b, hidden)
+        hb_scratch[:] = quantize_h_int8(h_new_b)
 
-    direction(xf_f_ref, xb_f_ref, wih_f_ref, whh_f_ref, hf_scratch, hnf_ref, 0)
-    direction(xf_b_ref, xb_b_ref, wih_b_ref, whh_b_ref, hb_scratch, hnb_ref, 1)
+    @pl.when(t == num_steps - 1)
+    def _():
+        hnf_ref[:] = h_new_f.astype(out_dtype)
+        hnb_ref[:] = h_new_b.astype(out_dtype)
 
 
 def encoder_hn_pallas_int8(gru_params, emb_table, tokens, *,
-                           tile_b: int = 512, out_dtype=None,
+                           tile_b: int = 512, ticks_per_step: int = 1,
+                           out_dtype=None,
                            interpret: bool | None = None):
     """int8 variant of :func:`encoder_hn_pallas` (opt-in serving mode).
 
@@ -378,15 +428,19 @@ def encoder_hn_pallas_int8(gru_params, emb_table, tokens, *,
     if interpret is None:
         interpret = interpret_default()
     return _encoder_hn_pallas_int8(gru_params, emb_table, tokens,
-                                   tile_b=tile_b, out_dtype=out_dtype,
+                                   tile_b=tile_b,
+                                   ticks_per_step=ticks_per_step,
+                                   out_dtype=out_dtype,
                                    interpret=interpret)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_b", "out_dtype", "interpret")
+    jax.jit,
+    static_argnames=("tile_b", "ticks_per_step", "out_dtype", "interpret"),
 )
 def _encoder_hn_pallas_int8(gru_params, emb_table, tokens, *, tile_b: int,
-                            out_dtype, interpret: bool):
+                            ticks_per_step: int, out_dtype,
+                            interpret: bool):
     from inpaintnet_tpu.ops.quantize import quantize_cols_int8
 
     batch, seq_len = tokens.shape
@@ -418,13 +472,16 @@ def _encoder_hn_pallas_int8(gru_params, emb_table, tokens, *, tile_b: int,
     scales1 = jnp.stack([s_wih1f[0] * h_dq, s_whh1f[0] * h_dq,
                          s_wih1b[0] * h_dq, s_whh1b[0] * h_dq])
 
+    k = ticks_per_step
+    assert seq_len % k == 0, (seq_len, k)
+    num_steps = seq_len // k
     tile_b = min(tile_b, round_up(batch, 8))
     padded_b = round_up(batch, tile_b)
     if padded_b != batch:
         tokens = jnp.pad(tokens, ((0, padded_b - batch), (0, 0)))
     tok_t = jnp.swapaxes(tokens, 0, 1).astype(jnp.int32)[:, None, :]
     n_tiles = padded_b // tile_b
-    grid = (n_tiles, seq_len)
+    grid = (n_tiles, num_steps)
     three_h = 3 * hidden
 
     def const(i, t):
@@ -434,16 +491,17 @@ def _encoder_hn_pallas_int8(gru_params, emb_table, tokens, *, tile_b: int,
     bhh01 = jnp.stack([p0f["b_hh"], p0b["b_hh"]])
 
     l0 = functools.partial(
-        _l0_kernel_int8, seq_len=seq_len, hidden=hidden, vocab_pad=vocab_pad,
-        out_dtype=dtype,
+        _l0_kernel_int8, num_steps=num_steps, hidden=hidden,
+        vocab_pad=vocab_pad, out_dtype=dtype, k=k,
     )
     ysf, ysb, hn0f, hn0b = pl.pallas_call(
         l0,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tile_b), lambda i, t: (t, 0, i),
+            pl.BlockSpec((k, 1, tile_b), lambda i, t: (t, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_b), lambda i, t: (seq_len - 1 - t, 0, i),
+            pl.BlockSpec((k, 1, tile_b),
+                         lambda i, t: (num_steps - 1 - t, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((vocab_pad, three_h), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((vocab_pad, three_h), const, memory_space=pltpu.VMEM),
@@ -454,9 +512,10 @@ def _encoder_hn_pallas_int8(gru_params, emb_table, tokens, *, tile_b: int,
             pl.BlockSpec((2, three_h), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_b, hidden), lambda i, t: (t, i, 0),
+            pl.BlockSpec((k, tile_b, hidden), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_b, hidden), lambda i, t: (seq_len - 1 - t, i, 0),
+            pl.BlockSpec((k, tile_b, hidden),
+                         lambda i, t: (num_steps - 1 - t, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -479,12 +538,13 @@ def _encoder_hn_pallas_int8(gru_params, emb_table, tokens, *, tile_b: int,
     bih11 = jnp.stack([p1f["b_ih"], p1b["b_ih"]])
     bhh11 = jnp.stack([p1f["b_hh"], p1b["b_hh"]])
     l1 = functools.partial(
-        _l1_kernel_int8, seq_len=seq_len, hidden=hidden, out_dtype=dtype,
+        _l1_kernel_int8, num_steps=num_steps, hidden=hidden, out_dtype=dtype,
+        k=k,
     )
-    ys_spec_fwd = pl.BlockSpec((1, tile_b, hidden), lambda i, t: (t, i, 0),
+    ys_spec_fwd = pl.BlockSpec((k, tile_b, hidden), lambda i, t: (t, i, 0),
                                memory_space=pltpu.VMEM)
     ys_spec_bwd = pl.BlockSpec(
-        (1, tile_b, hidden), lambda i, t: (seq_len - 1 - t, i, 0),
+        (k, tile_b, hidden), lambda i, t: (num_steps - 1 - t, i, 0),
         memory_space=pltpu.VMEM,
     )
     hn1f, hn1b = pl.pallas_call(

@@ -25,6 +25,35 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def device_event_durations(logdir: str, match: str) -> List[float]:
+    """Durations (ms) of DEVICE-plane events whose name contains ``match``
+    in a ``trace(logdir)`` capture, sorted ascending.
+
+    This is the direct on-device step-time measurement: host wall-clock
+    through a tunneled TPU is RTT-bound (docs/PERFORMANCE.md landmines),
+    but the device plane of the profiler trace records actual execution
+    spans of each launched executable."""
+    import glob
+    import os
+
+    from jax.profiler import ProfileData
+
+    out: List[float] = []
+    for path in glob.glob(
+        os.path.join(logdir, "**", "*.xplane.pb"), recursive=True
+    ):
+        data = ProfileData.from_file(path)
+        for plane in data.planes:
+            # device planes are named like "/device:TPU:0"; skip host planes
+            if "/device:" not in plane.name:
+                continue
+            for line in plane.lines:
+                for ev in line.events:
+                    if match in ev.name:
+                        out.append(ev.duration_ns / 1e6)
+    return sorted(out)
+
+
 class StepTimer:
     def __init__(self, items_per_step: float = 1.0, warmup: int = 1):
         self.items_per_step = items_per_step

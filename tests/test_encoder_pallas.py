@@ -182,3 +182,39 @@ def test_encoder_int8_model_route(monkeypatch):
     assert not np.array_equal(loc_q, loc_r)  # the quantized route ran
     rel = np.linalg.norm(loc_q - loc_r) / np.linalg.norm(loc_r)
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("k", [2, 3, 4, 6])
+def test_encoder_hn_time_tiled_matches_xla_scan(k):
+    """ticks_per_step > 1 (k sequential ticks per grid step) must be exact
+    vs the scan — same recurrence, different grid carving."""
+    E, H, V, T = 10, 16, 30, 24
+    params = gru_init(jax.random.PRNGKey(3), E, H, 2, True)
+    table = jax.random.normal(jax.random.PRNGKey(4), (V, E))
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (20, T), 0, V)
+
+    emb = jnp.take(table, tokens, axis=0)
+    _, h_ref = gru_apply(params, emb)
+    h_pal = encoder_hn_pallas(params, table, tokens, tile_b=8,
+                              ticks_per_step=k, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_encoder_int8_time_tiled_matches_untiled(k):
+    """int8 kernel: time tiling k=1 vs k>1 — identical in-kernel math.
+    (Not asserted bitwise: the PRE-kernel f32 weight-quantization graph can
+    fuse differently across the two separately-jitted programs, ~1e-5
+    noise in the quantization scales.)"""
+    from inpaintnet_tpu.ops.encoder_pallas import encoder_hn_pallas_int8
+
+    E, H, V, T = 10, 16, 30, 24
+    params = gru_init(jax.random.PRNGKey(6), E, H, 2, True)
+    table = jax.random.normal(jax.random.PRNGKey(7), (V, E))
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (16, T), 0, V)
+    h1 = encoder_hn_pallas_int8(params, table, tokens, tile_b=8,
+                                interpret=True)
+    hk = encoder_hn_pallas_int8(params, table, tokens, tile_b=8,
+                                ticks_per_step=k, interpret=True)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(hk), atol=1e-4)

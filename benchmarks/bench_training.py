@@ -11,7 +11,7 @@ Measures, on the live chip, at flagship model size:
 MFU denominator: analytic model FLOPs (3x forward for the train step;
 remat recompute excluded, so the true utilization is slightly higher).
 
-Usage: python benchmarks/bench_training.py
+Usage: python benchmarks/bench_training.py [vae] [latent] [enc]
 """
 from __future__ import annotations
 
@@ -90,13 +90,20 @@ def main():
         def __repr__(self):
             return "BenchTrainDS"
 
+    sections = set(sys.argv[1:]) or {"vae", "latent", "enc"}
     ds = _DS()
     _, vae, model = build_flagship(vocab_size=V, dataset=ds)
+    # keep the master params on the HOST: replicate() of an already-placed
+    # array can be a no-op device_put, and the train step DONATES its
+    # params — which would delete the master copy between configurations
+    vae.params = jax.tree_util.tree_map(np.asarray, vae.params)
+    model.params = jax.tree_util.tree_map(np.asarray, model.params)
     rs = np.random.RandomState(0)
 
-    print("=== MeasureVAE train step (batch 256 windows = 4096 rows) ===")
     fwd = vae_fwd_flops_per_row()
-    for dtype in ("bfloat16", None):
+    if "vae" in sections:
+        print("=== MeasureVAE train step (batch 256 windows = 4096 rows) ===")
+    for dtype in ("bfloat16", None) if "vae" in sections else ():
         tr = VAETrainer(ds, vae, lr=1e-4, compute_dtype=dtype)
         tr._build_steps()
         rows = 256 * 16
@@ -115,8 +122,9 @@ def main():
               f"{rows / ms * 1e3:9,.0f} measures/s  "
               f"{tf / 1e12:5.1f} TFLOP/s  MFU~{tf / peak * 100:4.1f}%")
 
-    print("=== LatentRNN train step (frozen VAE fwd + gen-path bwd) ===")
-    for batch_w in (32, 256):
+    if "latent" in sections:
+        print("=== LatentRNN train step (frozen VAE fwd + gen-path bwd) ===")
+    for batch_w in (32, 256) if "latent" in sections else ():
         tr = LatentRNNTrainer(ds, model, lr=1e-4, compute_dtype="bfloat16")
         tr._build_steps()
         score = rs.randint(0, V, (batch_w, 1, 16 * T)).astype(np.int32)
@@ -133,6 +141,8 @@ def main():
         print(f"batch {batch_w:4d} {ms:7.1f} ms/step  "
               f"{batch_w * 4 / ms * 1e3:9,.0f} target measures/s")
 
+    if "enc" not in sections:
+        return
     print("=== frozen encode at LatentRNN train-step row counts ===")
     # LatentRNN training encodes (past+future+target valid rows); at batch
     # 32 that is ~<=512 rows. Kernel vs scan, eval-mode (the kernel carries
@@ -141,8 +151,13 @@ def main():
     from inpaintnet_tpu.ops.gru import gru_apply
     from inpaintnet_tpu.ops.linear import embedding_apply
 
-    enc_p = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16), vae.params["encoder"]
+    # device-resident params: the masters are host numpy (donation
+    # protection above) and re-uploading ~MBs per timed call through the
+    # tunnel would swamp the measurement
+    enc_p = jax.device_put(
+        jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.bfloat16), vae.params["encoder"]
+        )
     )
     for rows in (384, 512, 4096):
         toks = jnp.asarray(rs.randint(0, V, (rows, T)), jnp.int32)

@@ -490,3 +490,69 @@ def test_latent_rnn_training_trajectory_parity(neutral_sampling):
     requires_grad=False vs stop_gradient); trajectories must track."""
     ref_curve, ours_curve = run_latent_rnn_trajectory()
     _assert_curves(ours_curve, ref_curve, loss_cols=(0,), acc_cols=(1,))
+
+
+# --------------------------------------------------------------------------- #
+# auto_reg generation parity (the third generation mode): the sampled
+# decode->re-encode loop (reference forward_generation else-branch,
+# latent_rnn.py:241-260) vs our peeled lax.scan — EXACT once rsample is
+# neutralized (argmax decode is deterministic).
+# --------------------------------------------------------------------------- #
+
+def test_reference_latent_rnn_autoreg_generation_parity(neutral_sampling):
+    torch.manual_seed(23)
+    ds = _TrainerDataset()
+    vae_kw = dict(
+        note_embedding_dim=E, num_encoder_layers=L, encoder_hidden_size=H,
+        encoder_dropout_prob=0.0, latent_space_dim=Z, num_decoder_layers=L,
+        decoder_hidden_size=H, decoder_dropout_prob=0.0,
+    )
+    from MeasureVAE.measure_vae import MeasureVAE as RefVAE
+
+    ref_vae = RefVAE(ds, **vae_kw)
+    ref = RefLatentRNN(
+        ds, ref_vae, num_rnn_layers=L, rnn_hidden_size=H, dropout=0.0,
+        rnn_class=torch.nn.GRU, auto_reg=True,
+    ).eval()
+    from inpaintnet_tpu.models.torch_port import port_latent_rnn
+
+    vae_ours = MeasureVAE(ds, **vae_kw)
+    vae_ours.params = port_measure_vae(
+        {k[len("vae_model."):]: v for k, v in ref.state_dict().items()
+         if k.startswith("vae_model.")}
+    )
+    ours = LatentRNN(ds, vae_ours, num_rnn_layers=L, rnn_hidden_size=H,
+                     dropout=0.0, auto_reg=True, max_target=4)
+    ours.params = port_latent_rnn(ref.state_dict(), num_layers=L,
+                                  auto_reg=True)
+
+    rs = np.random.RandomState(29)
+    zp = rs.randn(B, 5, Z).astype(np.float32)
+    zf = rs.randn(B, 7, Z).astype(np.float32)
+    n_gen = 4
+    with torch.no_grad():
+        cp = ref.forward_context(torch.from_numpy(zp), type="past")
+        cf = ref.forward_context(torch.from_numpy(zf), type="future")
+        comb = torch.cat((cp, cf), 2)
+        w_t, s_t, z_t = ref.forward_generation(
+            comb, n_gen, seed=torch.from_numpy(zp[:, -1:, :]),
+            measure_seq_len=24, teacher_forcing=False,
+        )
+
+    cp_j = ours.forward_context(ours.params, jnp.asarray(zp),
+                                jnp.ones((B, 5)), "past", train=False,
+                                rng=None)
+    cf_j = ours.forward_context(ours.params, jnp.asarray(zf),
+                                jnp.ones((B, 7)), "future", train=False,
+                                rng=None)
+    comb_j = ours._combine_contexts(cp_j, cf_j)
+    w_j, s_j, z_j = ours._generate_autoregressive(
+        ours.params, vae_ours.params, comb_j, jnp.ones((B, n_gen)),
+        seed=jnp.asarray(zp[:, -1:, :]), train=False,
+        rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(z_j), z_t.numpy(), atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(s_j), s_t.numpy().reshape(B, n_gen, 24)
+    )
+    np.testing.assert_allclose(np.asarray(w_j), w_t.numpy(), atol=1e-3)

@@ -23,7 +23,10 @@ import time
 
 BATCH = 2048  # throughput peaks here (see docs/PERFORMANCE.md scaling table)
 N_PAST, N_TARGET, N_FUTURE = 6, 4, 6
-WARMUP, ITERS = 2, 10
+# WARMUP=30: freshly-compiled TPU executables RAMP — the first ~30
+# invocations read up to 2x slow (docs/PERFORMANCE.md landmine #6); the
+# timed window must start at steady state. ~1.4 s of extra warmup.
+WARMUP, ITERS = 30, 10
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 # The CPU denominator uses a smaller batch (eager-CPU throughput is roughly
 # batch-linear here and the full 512 takes tens of minutes).

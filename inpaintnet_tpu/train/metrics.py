@@ -12,7 +12,11 @@ import jax.numpy as jnp
 
 
 def _nll(weights, targets):
-    logp = jax.nn.log_softmax(weights, axis=-1)
+    # Mixed precision: the softmax/CE runs in float32 even when the model
+    # computes in bf16 — bf16 CE quantizes both the reported loss (epoch
+    # logs show repeated bucket values near convergence) and the CE
+    # gradient. The upcast is free next to the GRU compute.
+    logp = jax.nn.log_softmax(weights.astype(jnp.float32), axis=-1)
     return -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
 
 
@@ -45,8 +49,10 @@ mean_accuracy_alt = mean_accuracy
 
 
 def mean_l1_loss(weights, targets):
-    return jnp.abs(weights - targets).mean()
+    return jnp.abs(weights.astype(jnp.float32)
+                   - targets.astype(jnp.float32)).mean()
 
 
 def mean_mse_loss(weights, targets):
-    return ((weights - targets) ** 2).mean()
+    diff = weights.astype(jnp.float32) - targets.astype(jnp.float32)
+    return (diff ** 2).mean()

@@ -39,7 +39,11 @@ class VAETrainer(Trainer):
             (1, score.shape[1])
         )
         recons_loss = self.mean_crossentropy_loss(weights, score, mask=mask)
-        kld = kl_diag_normal_vs_standard(z_dist).sum(axis=1)
+        # KLD in float32 regardless of compute dtype (see metrics._nll)
+        kld = kl_diag_normal_vs_standard(
+            type(z_dist)(z_dist.loc.astype(jnp.float32),
+                         z_dist.scale.astype(jnp.float32))
+        ).sum(axis=1)
         if row_mask is None:
             dist_loss = self.beta * kld.mean()
         else:

@@ -74,3 +74,28 @@ def test_serve_engine_bf16():
     np.testing.assert_array_equal(out[:, :4], tokens[:, :4])
     np.testing.assert_array_equal(out[:, 7:], tokens[:, 7:])
     assert out.min() >= 0 and out.max() < 30
+
+
+def test_crossentropy_runs_in_f32_under_bf16_logits():
+    """Mixed precision keeps the CE/softmax pipeline in float32: bf16
+    logits must yield a float32 loss identical (to f32 roundoff) to the
+    f32 CE over the same quantized inputs, and strictly more accurate
+    than an all-bf16 CE (which buckets the loss near convergence)."""
+    import jax.numpy as jnp
+    from inpaintnet_tpu.train.metrics import mean_crossentropy_loss
+
+    rng = np.random.RandomState(0)
+    # near-convergence regime: confident (large, ReLU'd) logits
+    logits = (rng.rand(64, 24, 40) * 12).astype(np.float32)
+    targets = jnp.asarray(rng.randint(0, 40, (64, 24)))
+    lo_bf16 = jnp.asarray(logits).astype(jnp.bfloat16)
+
+    loss = mean_crossentropy_loss(lo_bf16, targets)
+    assert loss.dtype == jnp.float32
+    ref = mean_crossentropy_loss(lo_bf16.astype(jnp.float32), targets)
+    assert abs(float(loss) - float(ref)) < 1e-6
+
+    # the old all-bf16 pipeline deviates measurably from the f32 value
+    logp16 = jax.nn.log_softmax(lo_bf16, axis=-1)
+    nll16 = -jnp.take_along_axis(logp16, targets[..., None], axis=-1)[..., 0]
+    assert abs(float(nll16.mean()) - float(ref)) > abs(float(loss) - float(ref))

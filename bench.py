@@ -34,7 +34,8 @@ CPU_BATCH, CPU_ITERS = 64, 2
 
 
 def measure_throughput(batch: int = BATCH, iters: int = ITERS,
-                       measure_latency: bool = True) -> dict:
+                       measure_latency: bool = True,
+                       warmup: int = WARMUP) -> dict:
     import jax
     import numpy as np
 
@@ -103,12 +104,12 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
     # a host fetch of the output is the only true synchronization.
     # pre-split per-iteration keys: a fold_in inside the loop is a separate
     # tiny dispatch whose tunnel round-trip would dominate the measurement
-    keys = list(np.asarray(jax.random.split(key, iters + WARMUP)))
-    for w in range(WARMUP):
+    keys = list(np.asarray(jax.random.split(key, iters + warmup)))
+    for w in range(warmup):
         fetch(inpaint(*args, keys[w]))
     t0 = time.perf_counter()
     for i in range(iters):
-        out = inpaint(*args, keys[WARMUP + i])
+        out = inpaint(*args, keys[warmup + i])
     fetch(out)
     dt = (time.perf_counter() - t0) / iters
     measures_per_sec = batch * N_TARGET / dt
@@ -152,11 +153,19 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
             trace,
         )
 
+        n_traced = 10
         with tempfile.TemporaryDirectory() as td:
             with trace(td):
-                for i in range(10):
+                for i in range(n_traced):
                     fetch(inpaint(*small, lat_keys[1 + i]))
-            durs = device_event_durations(td, "inpaint")
+            # whole-executable spans only: sub-op events can carry the
+            # module name as a prefix in some profiler versions
+            durs = device_event_durations(td, "inpaint",
+                                          line_match="XLA Modules")
+            if not durs:
+                # fall back to unfiltered, keeping only the largest span
+                # per invocation (module spans dominate their sub-ops)
+                durs = device_event_durations(td, "inpaint")[-n_traced:]
         if durs:
             p50_dev_ms = durs[len(durs) // 2]
     except Exception as e:  # noqa: BLE001 — profiling is best-effort
@@ -195,7 +204,10 @@ def cpu_baseline() -> float:
         )
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        "import bench, json; r = bench.measure_throughput(bench.CPU_BATCH, bench.CPU_ITERS, measure_latency=False);"
+        # warmup=2: the 30-call TPU-executable ramp does not apply to the
+        # eager-CPU denominator, and 30 extra CPU iterations would add
+        # several minutes for nothing
+        "import bench, json; r = bench.measure_throughput(bench.CPU_BATCH, bench.CPU_ITERS, measure_latency=False, warmup=2);"
         "print('@@'+json.dumps(r))"
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")

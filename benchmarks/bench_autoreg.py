@@ -26,17 +26,10 @@ N_PAST, N_TARGET, N_FUTURE = 6, 4, 6
 
 
 def timeit(fn, *args, iters=5, reps=6):
-    from inpaintnet_tpu.utils.timing import fetch
+    """Best-of-reps ms/call via the shared fetch-synchronized helper."""
+    from inpaintnet_tpu.utils.timing import device_timeit
 
-    fetch(fn(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        fetch(out)
-        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
-    return best
+    return device_timeit(fn, *args, iters=iters, warmup=1, reps=reps) * 1e3
 
 
 def main():

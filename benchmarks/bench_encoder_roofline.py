@@ -50,45 +50,67 @@ def main():
         return 0.25 * (s[:, :hidden] + s[:, hidden:2 * hidden]
                        + s[:, 2 * hidden:]) + 0.5 * h
 
-    def timeit(fn, reps=6, iters=5):
-        fetch(fn())
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn()
-            fetch(out)
-            best = min(best, (time.perf_counter() - t0) / iters * 1e3)
-        return best
+    def build_aot(gates, tile):
+        """AOT-compile one variant with its gate fn so every variant's
+        executable stays alive at once — enabling genuinely INTERLEAVED
+        timing reps (the jit caches are shared across variants because the
+        gate fn is a module global captured at trace time, so plain jit
+        calls cannot coexist). The jit caches MUST be cleared before each
+        lower(): ``jit.lower`` reuses a cached trace, which would silently
+        bake the previous variant's gate fn (verified: without the clear,
+        full and gutted compile to bit-identical executables)."""
+        ep._encoder_hn_pallas_int8.clear_cache()
+        ep._encoder_hn_pallas.clear_cache()
+        ep.gru_gates_f32 = gates
+        try:
+            if tile > 0:
+                compiled = ep._encoder_hn_pallas_int8.lower(
+                    params, table, tokens, tile_b=tile, ticks_per_step=1,
+                    out_dtype=None, interpret=False,
+                ).compile()
+            else:
+                compiled = ep._encoder_hn_pallas.lower(
+                    params, table, tokens, tile_b=-tile, ticks_per_step=1,
+                    interpret=False,
+                ).compile()
+        finally:
+            ep.gru_gates_f32 = real_gates
+        return lambda: compiled(params, table, tokens)
 
-    results = {}
-    for name, gates, tile in (
+    variants = (
         ("int8 full tile=512", real_gates, 512),
         ("int8 full tile=1024", real_gates, 1024),
         ("int8 GUTTED-GATES tile=512", cheap_gates, 512),
         ("bf16 full tile=256", real_gates, -256),
         ("bf16 GUTTED-GATES tile=256", cheap_gates, -256),
-    ):
-        ep.gru_gates_f32 = gates
-        # distinct tile values give distinct jit cache entries; gate fn is
-        # captured at trace time, so clear the inner caches between variants
-        ep._encoder_hn_pallas_int8.clear_cache()
-        ep._encoder_hn_pallas.clear_cache()
+    )
+    fns = {}
+    for name, gates, tile in variants:
         try:
-            if tile > 0:
-                fn = lambda: ep.encoder_hn_pallas_int8(  # noqa: E731
-                    params, table, tokens, tile_b=tile)
-            else:
-                fn = lambda: ep.encoder_hn_pallas(  # noqa: E731
-                    params, table, tokens, tile_b=-tile)
-            results[name] = timeit(fn)
-            print(f"{name:28s} {results[name]:7.2f} ms", flush=True)
+            fns[name] = build_aot(gates, tile)
         except Exception as e:  # noqa: BLE001
             print(f"SKIP {name}: {str(e)[:200]}", flush=True)
-        finally:
-            ep.gru_gates_f32 = real_gates
-    ep._encoder_hn_pallas_int8.clear_cache()
-    ep._encoder_hn_pallas.clear_cache()
+
+    # steady state first: freshly-compiled TPU executables ramp for up to
+    # ~30 invocations (PERFORMANCE.md landmine #6)
+    for fn in fns.values():
+        for _ in range(30):
+            fn()
+        fetch(fn())
+
+    # interleaved reps: each rep times every variant back to back, minima
+    # per variant — cross-variant deltas are then drift-immune
+    results = {name: float("inf") for name in fns}
+    for _ in range(6):
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = fn()
+            fetch(out)
+            results[name] = min(results[name],
+                                (time.perf_counter() - t0) / 5 * 1e3)
+    for name in fns:
+        print(f"{name:28s} {results[name]:7.2f} ms", flush=True)
 
     if "int8 full tile=512" in results and "int8 GUTTED-GATES tile=512" in results:
         full = results["int8 full tile=512"]

@@ -43,18 +43,14 @@ def vae_fwd_flops_per_row() -> float:
 
 
 def timeit(fn, *args, iters=5, reps=5):
-    from inpaintnet_tpu.utils.timing import fetch
+    """Best-of-reps ms/call; syncs on the FIRST output leaf only (the
+    in-order device stream makes one leaf sufficient, and fetching a whole
+    output tree would pay one tunnel RTT per leaf inside the window)."""
+    from inpaintnet_tpu.utils.timing import device_timeit
 
-    out = fn(*args)
-    fetch(jax.tree_util.tree_leaves(out)[0])
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        fetch(jax.tree_util.tree_leaves(out)[0])
-        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
-    return best
+    first_leaf = lambda *a: jax.tree_util.tree_leaves(fn(*a))[0]  # noqa: E731
+    return device_timeit(first_leaf, *args, iters=iters, warmup=1,
+                         reps=reps) * 1e3
 
 
 def timeit_train_step(train_step, params, opt, bd, key, extra,

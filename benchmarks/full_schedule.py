@@ -54,7 +54,7 @@ def run(script, *args):
 
 
 def ensure_corpus():
-    if os.path.isdir(CORPUS) and len(os.listdir(CORPUS)) > 13000:
+    if os.path.isdir(CORPUS) and len(os.listdir(CORPUS)) >= 13684:
         print(f"corpus present: {CORPUS}")
         return
     from inpaintnet_tpu.data.synthetic import generate_corpus

@@ -56,8 +56,12 @@ class VAETrainer(Trainer):
 
     @staticmethod
     def compute_kld_loss(z_dist, prior_dist=None, beta: float = 0.001):
-        """(vae_trainer.py:128-139)"""
-        kld = kl_diag_normal_vs_standard(z_dist)
+        """(vae_trainer.py:128-139). Float32 regardless of compute dtype,
+        matching the in-trainer KLD path (see metrics._nll)."""
+        kld = kl_diag_normal_vs_standard(
+            type(z_dist)(z_dist.loc.astype(jnp.float32),
+                         z_dist.scale.astype(jnp.float32))
+        )
         return beta * kld.sum(axis=1).mean()
 
     @staticmethod

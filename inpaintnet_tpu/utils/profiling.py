@@ -25,14 +25,21 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def device_event_durations(logdir: str, match: str) -> List[float]:
+def device_event_durations(
+    logdir: str, match: str, line_match: Optional[str] = None
+) -> List[float]:
     """Durations (ms) of DEVICE-plane events whose name contains ``match``
     in a ``trace(logdir)`` capture, sorted ascending.
 
     This is the direct on-device step-time measurement: host wall-clock
     through a tunneled TPU is RTT-bound (docs/PERFORMANCE.md landmines),
     but the device plane of the profiler trace records actual execution
-    spans of each launched executable."""
+    spans of each launched executable.
+
+    ``line_match`` restricts to plane lines whose name contains it (e.g.
+    ``"XLA Modules"`` for whole-executable spans) — without it, profiler
+    versions that prefix sub-op events with the module name would mix
+    per-op spans into the population."""
     import glob
     import os
 
@@ -48,6 +55,8 @@ def device_event_durations(logdir: str, match: str) -> List[float]:
             if "/device:" not in plane.name:
                 continue
             for line in plane.lines:
+                if line_match is not None and line_match not in line.name:
+                    continue
                 for ev in line.events:
                     if match in ev.name:
                         out.append(ev.duration_ns / 1e6)

@@ -25,13 +25,21 @@ def fetch(x) -> float:
     return total
 
 
-def device_timeit(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Mean seconds per call, host-fetch synchronized."""
+def device_timeit(fn: Callable, *args, iters: int = 10, warmup: int = 2,
+                  reps: int = 1) -> float:
+    """Seconds per call, host-fetch synchronized.
+
+    With ``reps > 1``, returns the MINIMUM over ``reps`` timing windows of
+    ``iters`` calls each — the repo's standard for measurements through the
+    drifting hosted-TPU tunnel (docs/PERFORMANCE.md landmines)."""
     for _ in range(warmup):
         fetch(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    fetch(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        fetch(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best

@@ -1,0 +1,259 @@
+"""HTTP serving front end for :class:`inpaintnet_tpu.serve.InpaintingEngine`.
+
+The reference has no serving layer (flask appears in its environment.yml:8
+but is unused anywhere — SURVEY §1); the product-level contract is the
+tester generation API (latent_rnn_tester.py:131-195). This module is the
+framework's network front end for that contract: a stdlib
+``ThreadingHTTPServer`` wrapping ONE engine. Concurrency model: request
+parsing/JSON runs per-thread, but engine calls serialize on a lock — one
+process owns the TPU (CLAUDE.md environment rules) and the device stream
+is in-order anyway, so the batching economy comes from the engine's bucket
+machinery, not from concurrent dispatch.
+
+Endpoints (JSON in/out):
+
+- ``GET  /healthz`` -> ``{"status": "ok", "buckets": [...], ...}``
+- ``GET  /v1/meta`` -> model geometry + vocab size
+- ``POST /v1/inpaint``
+  ``{"tokens": [[[..]]], "start_measure": i, "num_measures": n,
+  "seed": optional}`` -> ``{"tokens": [[[..]]]}`` — tokens are
+  (batch, measures, 24) int lists; a single (measures, 24) example is
+  auto-batched and returned at its input rank.
+- ``POST /v1/inpaint_variations`` — same plus ``"num_variations"``;
+  returns ``{"variations": ...}`` of shape (variations, batch, measures,
+  24) (or (variations, measures, 24) for a single example).
+- ``POST /v1/inpaint_ticks`` — the reference tester's tick-range API:
+  ``{"tokens": ..., "start_tick": t0, "end_tick": t1, "seed": optional}``.
+
+Errors: 400 with ``{"error": msg}`` for malformed/invalid requests, 404
+for unknown paths, 500 for engine failures.
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["InpaintingServer"]
+
+_MAX_BODY = 256 * 1024 * 1024
+
+
+class _BadRequest(ValueError):
+    pass
+
+
+def _get_tokens(payload, msl: int):
+    """Validate/shape the tokens field -> ((B, M, msl) int32, was_single)."""
+    if "tokens" not in payload:
+        raise _BadRequest("missing field: tokens")
+    try:
+        tokens = np.asarray(payload["tokens"], dtype=np.int32)
+    except (TypeError, ValueError):
+        raise _BadRequest("tokens must be a (rectangular) int array")
+    single = tokens.ndim == 2
+    if single:
+        tokens = tokens[None]
+    if tokens.ndim != 3 or tokens.shape[-1] != msl:
+        raise _BadRequest(
+            f"tokens must be (batch, measures, {msl}) or (measures, {msl}); "
+            f"got shape {tokens.shape}"
+        )
+    if tokens.size == 0:
+        raise _BadRequest("tokens is empty")
+    return tokens, single
+
+
+def _get_int(payload, name, lo=None, hi=None):
+    if name not in payload:
+        raise _BadRequest(f"missing field: {name}")
+    v = payload[name]
+    if not isinstance(v, int) or isinstance(v, bool):
+        raise _BadRequest(f"{name} must be an integer")
+    if (lo is not None and v < lo) or (hi is not None and v > hi):
+        raise _BadRequest(f"{name}={v} out of range [{lo}, {hi}]")
+    return v
+
+
+class InpaintingServer:
+    """Serve one :class:`InpaintingEngine` over HTTP.
+
+    ``start()`` runs in a daemon thread and returns the bound port
+    (pass ``port=0`` for an ephemeral one); ``serve_forever()`` blocks.
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
+                 quiet: bool = True):
+        self.engine = engine
+        self._lock = threading.Lock()  # engine calls are serialized
+        self._httpd = ThreadingHTTPServer((host, port),
+                                          self._make_handler(quiet))
+        self._httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> int:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------ #
+
+    def _meta(self) -> dict:
+        e = self.engine
+        vocab = e.model.vae_model.num_notes
+        return {
+            "model": "LatentRNN",
+            "n_bars": e.n_bars,
+            "measure_seq_len": e.msl,
+            "max_target": e.max_target,
+            "vocab_size": vocab,
+            "batch_buckets": list(e.batch_buckets),
+            "quant": e._quant,
+        }
+
+    def _health(self) -> dict:
+        return {
+            "status": "ok",
+            "buckets": list(self.engine.batch_buckets),
+            "warmed": sorted(self.engine._compiled),
+        }
+
+    def _inpaint(self, payload: dict) -> dict:
+        e = self.engine
+        tokens, single = _get_tokens(payload, e.msl)
+        m = tokens.shape[1]
+        num = _get_int(payload, "num_measures", 1, e.max_target)
+        # >= 1: generation seeds from the last past measure's latent
+        # (reference latent_rnn.py:148-151), so one past measure must exist
+        start = _get_int(payload, "start_measure", 1, m - num)
+        seed = payload.get("seed")
+        if seed is not None and not isinstance(seed, int):
+            raise _BadRequest("seed must be an integer")
+        with self._lock:
+            out = e.inpaint(tokens, start, num, seed=seed)
+        return {"tokens": (out[0] if single else out).tolist()}
+
+    def _inpaint_variations(self, payload: dict) -> dict:
+        e = self.engine
+        tokens, single = _get_tokens(payload, e.msl)
+        m = tokens.shape[1]
+        num = _get_int(payload, "num_measures", 1, e.max_target)
+        start = _get_int(payload, "start_measure", 1, m - num)
+        nvar = _get_int(payload, "num_variations", 1, 4096)
+        seed = payload.get("seed")
+        if seed is not None and not isinstance(seed, int):
+            raise _BadRequest("seed must be an integer")
+        with self._lock:
+            out = e.inpaint_variations(tokens, start, num, nvar, seed=seed)
+        # engine returns (variations, batch, measures, msl)
+        return {"variations": (out[:, 0] if single else out).tolist()}
+
+    def _inpaint_ticks(self, payload: dict) -> dict:
+        """Reference tick-range contract (latent_rnn_tester.py:131-195):
+        ONE flat tick sequence + a measure-aligned [start, end) range."""
+        e = self.engine
+        if "tokens" not in payload:
+            raise _BadRequest("missing field: tokens")
+        try:
+            tokens = np.asarray(payload["tokens"], dtype=np.int32)
+        except (TypeError, ValueError):
+            raise _BadRequest("tokens must be a (rectangular) int array")
+        single = tokens.ndim == 1
+        if single:
+            tokens = tokens[None]
+        if tokens.ndim != 2 or tokens.shape[0] != 1 \
+                or tokens.shape[1] == 0 or tokens.shape[1] % e.msl:
+            raise _BadRequest(
+                "tokens must be one flat tick sequence with length a "
+                f"multiple of {e.msl}; got shape {tokens.shape}"
+            )
+        total = tokens.shape[1]
+        end = _get_int(payload, "end_tick", 1, total)
+        # start >= msl: at least one past measure (see _inpaint)
+        start = _get_int(payload, "start_tick", e.msl, end - 1)
+        if start % e.msl or end % e.msl:
+            raise _BadRequest(
+                f"tick range must be measure-aligned (multiples of {e.msl})"
+            )
+        if (end - start) // e.msl > e.max_target:
+            raise _BadRequest(
+                f"tick range spans more than max_target={e.max_target} "
+                "measures"
+            )
+        seed = payload.get("seed")
+        if seed is not None and not isinstance(seed, int):
+            raise _BadRequest("seed must be an integer")
+        with self._lock:
+            out = e.inpaint_ticks(tokens, (start, end), seed=seed)
+        return {"tokens": (out[0] if single else out).tolist()}
+
+    def _make_handler(self, quiet: bool):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # noqa: N802
+                if not quiet:
+                    BaseHTTPRequestHandler.log_message(self, fmt, *args)
+
+            def _reply(self, code: int, obj: dict):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802
+                if self.path == "/healthz":
+                    self._reply(200, server._health())
+                elif self.path == "/v1/meta":
+                    self._reply(200, server._meta())
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):  # noqa: N802
+                routes = {
+                    "/v1/inpaint": server._inpaint,
+                    "/v1/inpaint_variations": server._inpaint_variations,
+                    "/v1/inpaint_ticks": server._inpaint_ticks,
+                }
+                route = routes.get(self.path)
+                if route is None:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    if length <= 0 or length > _MAX_BODY:
+                        raise _BadRequest("bad Content-Length")
+                    payload = json.loads(self.rfile.read(length))
+                    if not isinstance(payload, dict):
+                        raise _BadRequest("request body must be a JSON object")
+                    self._reply(200, route(payload))
+                except (_BadRequest, json.JSONDecodeError) as exc:
+                    self._reply(400, {"error": str(exc)})
+                except BrokenPipeError:
+                    pass  # client went away mid-reply
+                except Exception as exc:  # noqa: BLE001 — engine failure
+                    self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+        return Handler

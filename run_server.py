@@ -1,0 +1,99 @@
+"""Serve trained InpaintNet checkpoints over HTTP.
+
+Framework addition (the reference has no serving layer — flask sits unused
+in its environment.yml:8): loads the MeasureVAE + LatentRNN checkpoints
+the training CLIs produced (same config-addressed flags —
+script_gen_same_context.py loading pattern) and exposes
+``inpaintnet_tpu.server.InpaintingServer`` endpoints:
+
+    POST /v1/inpaint            POST /v1/inpaint_variations
+    POST /v1/inpaint_ticks      GET /healthz        GET /v1/meta
+
+Example:
+    python run_server.py --port 8080 --serve_dtype int8 --warmup
+    curl -s localhost:8080/v1/meta
+"""
+import click
+import jax
+
+from inpaintnet_tpu.cli.common import dataset_options, standard_datasets
+from inpaintnet_tpu.models import LatentRNN, MeasureVAE
+from inpaintnet_tpu.serve import InpaintingEngine
+from inpaintnet_tpu.server import InpaintingServer
+
+
+@click.command()
+@click.option('--note_embedding_dim', default=10)
+@click.option('--metadata_embedding_dim', default=2)
+@click.option('--num_encoder_layers', default=2)
+@click.option('--encoder_hidden_size', default=512)
+@click.option('--encoder_dropout_prob', default=0.5)
+@click.option('--has_metadata', default=True)
+@click.option('--latent_space_dim', default=256)
+@click.option('--num_decoder_layers', default=2)
+@click.option('--decoder_hidden_size', default=512)
+@click.option('--decoder_dropout_prob', default=0.5)
+@click.option('--num_latent_rnn_layers', default=2)
+@click.option('--latent_rnn_hidden_size', default=512)
+@click.option('--latent_rnn_dropout_prob', default=0.5)
+@click.option('--auto_reg/--no_auto_reg', default=False)
+@click.option('--host', default='127.0.0.1')
+@click.option('--port', default=8000)
+@click.option('--serve_dtype', default='bfloat16',
+              type=click.Choice(['float32', 'bfloat16', 'int8']))
+@click.option('--batch_buckets', default='1,8,64,512',
+              help='comma-separated engine batch buckets')
+@click.option('--warmup/--no_warmup', default=False,
+              help='pre-compile every bucket before accepting traffic')
+@dataset_options
+def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
+         encoder_hidden_size, encoder_dropout_prob, has_metadata,
+         latent_space_dim, num_decoder_layers, decoder_hidden_size,
+         decoder_dropout_prob, num_latent_rnn_layers, latent_rnn_hidden_size,
+         latent_rnn_dropout_prob, auto_reg, host, port, serve_dtype,
+         batch_buckets, warmup, dataset_name, corpus_dir, cache_dir):
+    folk_dataset_train, _ = standard_datasets(
+        dataset_name, cache_dir=cache_dir, corpus_dir=corpus_dir
+    )
+    vae_model = MeasureVAE(
+        dataset=folk_dataset_train,
+        note_embedding_dim=note_embedding_dim,
+        metadata_embedding_dim=metadata_embedding_dim,
+        num_encoder_layers=num_encoder_layers,
+        encoder_hidden_size=encoder_hidden_size,
+        encoder_dropout_prob=encoder_dropout_prob,
+        latent_space_dim=latent_space_dim,
+        num_decoder_layers=num_decoder_layers,
+        decoder_hidden_size=decoder_hidden_size,
+        decoder_dropout_prob=decoder_dropout_prob,
+        has_metadata=has_metadata,
+    )
+    vae_model.init(jax.random.PRNGKey(0))
+    vae_model.load()
+
+    model = LatentRNN(
+        dataset=folk_dataset_train, vae_model=vae_model,
+        num_rnn_layers=num_latent_rnn_layers,
+        rnn_hidden_size=latent_rnn_hidden_size,
+        dropout=latent_rnn_dropout_prob, auto_reg=auto_reg,
+        teacher_forcing=True,
+    )
+    model.init(jax.random.PRNGKey(1))
+    model.load()
+
+    buckets = tuple(int(b) for b in batch_buckets.split(','))
+    engine = InpaintingEngine(model, batch_buckets=buckets,
+                              dtype=serve_dtype)
+    if warmup:
+        print('warming up (compiling every bucket)...', flush=True)
+        engine.warmup()
+    server = InpaintingServer(engine, host=host, port=port, quiet=False)
+    print(f'serving on http://{host}:{server.port}', flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == '__main__':
+    main()

@@ -25,13 +25,23 @@ Endpoints (JSON in/out):
 - ``POST /v1/inpaint_ticks`` — the reference tester's tick-range API:
   ``{"tokens": ..., "start_tick": t0, "end_tick": t1, "seed": optional}``.
 
+Bulk transport: POSTs also accept ``Content-Type: application/x-npy``
+with the raw ``.npy`` bytes of the tokens array as the body and the
+scalar fields as query parameters (``?start_measure=6&num_measures=4``);
+the response is then ``.npy`` bytes too. JSON encode/decode of a
+batch-512 request costs ~150 ms — more than the device step — so bulk
+traffic should use npy (measured on-TPU at batch 512 int8: direct
+engine 93 ms, npy 104 ms, JSON 245 ms per request).
+
 Errors: 400 with ``{"error": msg}`` for malformed/invalid requests, 404
 for unknown paths, 500 for engine failures.
 """
 from __future__ import annotations
 
+import io
 import json
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -44,6 +54,33 @@ _MAX_BODY = 256 * 1024 * 1024
 
 class _BadRequest(ValueError):
     pass
+
+
+def _json_default(o):
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, np.integer):
+        return int(o)
+    raise TypeError(f"not JSON-serializable: {type(o)}")
+
+
+_INT_FIELDS = ("start_measure", "num_measures", "num_variations",
+               "start_tick", "end_tick", "seed")
+
+
+def _query_payload(query: str) -> dict:
+    """Scalar fields from the query string (the npy transport's side
+    channel for everything that isn't the tokens array)."""
+    payload = {}
+    for k, v in urllib.parse.parse_qsl(query):
+        if k in _INT_FIELDS:
+            try:
+                payload[k] = int(v)
+            except ValueError:
+                raise _BadRequest(f"query parameter {k}={v!r} is not an int")
+        else:
+            raise _BadRequest(f"unknown query parameter: {k}")
+    return payload
 
 
 def _get_tokens(payload, msl: int):
@@ -149,7 +186,7 @@ class InpaintingServer:
             raise _BadRequest("seed must be an integer")
         with self._lock:
             out = e.inpaint(tokens, start, num, seed=seed)
-        return {"tokens": (out[0] if single else out).tolist()}
+        return {"tokens": out[0] if single else out}
 
     def _inpaint_variations(self, payload: dict) -> dict:
         e = self.engine
@@ -164,7 +201,7 @@ class InpaintingServer:
         with self._lock:
             out = e.inpaint_variations(tokens, start, num, nvar, seed=seed)
         # engine returns (variations, batch, measures, msl)
-        return {"variations": (out[:, 0] if single else out).tolist()}
+        return {"variations": out[:, 0] if single else out}
 
     def _inpaint_ticks(self, payload: dict) -> dict:
         """Reference tick-range contract (latent_rnn_tester.py:131-195):
@@ -203,7 +240,7 @@ class InpaintingServer:
             raise _BadRequest("seed must be an integer")
         with self._lock:
             out = e.inpaint_ticks(tokens, (start, end), seed=seed)
-        return {"tokens": (out[0] if single else out).tolist()}
+        return {"tokens": out[0] if single else out}
 
     def _make_handler(self, quiet: bool):
         server = self
@@ -216,9 +253,12 @@ class InpaintingServer:
                     BaseHTTPRequestHandler.log_message(self, fmt, *args)
 
             def _reply(self, code: int, obj: dict):
-                body = json.dumps(obj).encode()
+                body = json.dumps(obj, default=_json_default).encode()
+                self._reply_bytes(code, body, "application/json")
+
+            def _reply_bytes(self, code: int, body: bytes, ctype: str):
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -237,18 +277,45 @@ class InpaintingServer:
                     "/v1/inpaint_variations": server._inpaint_variations,
                     "/v1/inpaint_ticks": server._inpaint_ticks,
                 }
-                route = routes.get(self.path)
+                path, _, query = self.path.partition("?")
+                route = routes.get(path)
                 if route is None:
-                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    self._reply(404, {"error": f"unknown path {path}"})
                     return
+                ctype = (self.headers.get("Content-Type") or "")
+                ctype = ctype.split(";")[0].strip().lower()
+                npy = ctype == "application/x-npy"
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     if length <= 0 or length > _MAX_BODY:
                         raise _BadRequest("bad Content-Length")
-                    payload = json.loads(self.rfile.read(length))
-                    if not isinstance(payload, dict):
-                        raise _BadRequest("request body must be a JSON object")
-                    self._reply(200, route(payload))
+                    body = self.rfile.read(length)
+                    if npy:
+                        payload = _query_payload(query)
+                        try:
+                            tokens = np.load(io.BytesIO(body),
+                                             allow_pickle=False)
+                        except (ValueError, OSError):
+                            raise _BadRequest("body is not a valid .npy array")
+                        if not np.issubdtype(tokens.dtype, np.integer):
+                            raise _BadRequest(
+                                "npy tokens must be an integer array"
+                            )
+                        payload["tokens"] = tokens
+                    else:
+                        payload = json.loads(body)
+                        if not isinstance(payload, dict):
+                            raise _BadRequest(
+                                "request body must be a JSON object"
+                            )
+                    result = route(payload)
+                    if npy:
+                        buf = io.BytesIO()
+                        np.save(buf, np.asarray(next(iter(result.values()))))
+                        self._reply_bytes(200, buf.getvalue(),
+                                          "application/x-npy")
+                    else:
+                        self._reply(200, result)
                 except (_BadRequest, json.JSONDecodeError) as exc:
                     self._reply(400, {"error": str(exc)})
                 except BrokenPipeError:

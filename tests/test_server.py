@@ -195,3 +195,54 @@ def test_malformed_json(server):
     out = json.loads(resp.read())
     conn.close()
     assert resp.status == 400 and "error" in out
+
+
+def _call_npy(server, path_query, arr):
+    import io
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+    conn.request("POST", path_query, body=buf.getvalue(),
+                 headers={"Content-Type": "application/x-npy"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    if resp.status == 200:
+        return 200, np.load(io.BytesIO(data))
+    return resp.status, json.loads(data)
+
+
+def test_npy_transport_matches_json_and_engine(server):
+    toks = _tokens()
+    status, got = _call_npy(
+        server, "/v1/inpaint?start_measure=4&num_measures=3&seed=7", toks
+    )
+    assert status == 200
+    direct = server.engine.inpaint(toks, 4, 3, seed=7)
+    np.testing.assert_array_equal(got, direct)
+    _, via_json = _call(server, "POST", "/v1/inpaint", {
+        "tokens": toks.tolist(), "start_measure": 4, "num_measures": 3,
+        "seed": 7,
+    })
+    np.testing.assert_array_equal(got, np.asarray(via_json["tokens"]))
+
+
+def test_npy_transport_validation(server):
+    toks = _tokens()
+    status, out = _call_npy(
+        server, "/v1/inpaint?start_measure=4&num_measures=3&bogus=1", toks
+    )
+    assert status == 400 and "bogus" in out["error"]
+    status, out = _call_npy(
+        server, "/v1/inpaint?start_measure=4&num_measures=3",
+        toks.astype(np.float32),
+    )
+    assert status == 400 and "integer" in out["error"]
+    # non-npy garbage body
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+    conn.request("POST", "/v1/inpaint?start_measure=4&num_measures=3",
+                 body=b"garbage", headers={"Content-Type": "application/x-npy"})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 400 and "npy" in out["error"]

@@ -117,17 +117,34 @@ class LatentRNN(Model):
         return params
 
     # --- submodules ---------------------------------------------------------- #
-    def get_z_seq(self, vae_params, measures_tensor, *, train, rng):
+    def get_z_seq(self, vae_params, measures_tensor, *, train, rng,
+                  row_keys=None):
         """(B, M, 24) tokens -> (B, M, z): one batched frozen-encoder call
-        (latent_rnn.py:161-174; rsample kept deliberately)."""
+        (latent_rnn.py:161-174; rsample kept deliberately).
+
+        :param row_keys: optional (B, 2) uint32 PRNG keys — one per batch
+            row. When given, row ``b``'s rsample noise is drawn from
+            ``row_keys[b]`` alone, making each row's output independent of
+            its batch position and of the other rows (the serving batch-
+            coalescing contract, serve.InpaintingEngine.inpaint_hetero).
+            ``rng`` is then unused for the draw."""
         batch, num_measures, msl = measures_tensor.shape
         r_enc, r_z = jax.random.split(rng)
         flat = measures_tensor.reshape(batch * num_measures, msl)
         z_dist = self.vae_model.encoder.apply(
             vae_params["encoder"], flat, train=train, rng=r_enc
         )
-        z = z_dist.rsample(r_z)
-        return z.reshape(batch, num_measures, self.z_dim)
+        if row_keys is None:
+            z = z_dist.rsample(r_z)
+            return z.reshape(batch, num_measures, self.z_dim)
+        loc = z_dist.loc.reshape(batch, num_measures, self.z_dim)
+        scale = z_dist.scale.reshape(batch, num_measures, self.z_dim)
+        eps = jax.vmap(
+            lambda k: jax.random.normal(
+                k, (num_measures, self.z_dim), loc.dtype
+            )
+        )(row_keys)
+        return loc + scale * eps
 
     def encode_context_dists(self, vae_params, past_context, future_context,
                              *, train: bool = False, rng=None):
@@ -214,6 +231,7 @@ class LatentRNN(Model):
         target_mask=None,
         train: bool = True,
         rng=None,
+        row_keys=None,
     ):
         """Forward pass (latent_rnn.py:110-159).
 
@@ -221,9 +239,21 @@ class LatentRNN(Model):
         :param future_context: (B, Mf, 24), padded; mask (B, Mf)
         :param target: (B, Mt, 24) ground-truth target (Mt == max_target
             padded) or None at pure inference with ``target_mask`` given
+        :param row_keys: optional (B, 2) per-row PRNG keys for the context
+            rsample (see :meth:`get_z_seq`) — non-autoregressive inference
+            only, where the rsample is the ONLY stochastic op, so each
+            row's output depends on its own key alone regardless of batch
+            composition (the serving coalescing contract)
         :return: (weights (B, Mt, 24, V), samples (B, Mt, 24),
                   gen_z (B, Mt, z))
         """
+        if row_keys is not None and (self.auto_reg or train):
+            raise ValueError(
+                "row_keys serves non-autoregressive inference only: the "
+                "autoregressive scan re-samples inside its decode->re-encode "
+                "loop and training draws dropout/TF randomness, both from "
+                "the batch-level rng"
+            )
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         vae_params = jax.tree_util.tree_map(lax.stop_gradient, vae_params)
         batch, max_past, msl = past_context.shape
@@ -256,7 +286,8 @@ class LatentRNN(Model):
         if need_target:
             segments.append(target)
         z_all = self.get_z_seq(
-            vae_params, jnp.concatenate(segments, axis=1), train=train, rng=keys[0]
+            vae_params, jnp.concatenate(segments, axis=1), train=train,
+            rng=keys[0], row_keys=row_keys,
         )
         zp = z_all[:, :max_past]
         zf = z_all[:, max_past : max_past + max_future]

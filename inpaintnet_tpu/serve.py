@@ -156,12 +156,55 @@ class InpaintingEngine:
             return core
         return self._shard_mapped(core, n_batch_args=5)
 
+    def _fn_hetero(self):
+        """Like :meth:`_fn` but with PER-ROW rsample keys instead of one
+        batch key: each row's output depends on its own key/tokens/masks
+        alone, independent of batch position and of the other rows — the
+        coalescing contract of :meth:`inpaint_hetero`. Under a mesh the
+        keys shard with their rows (no per-shard fold_in needed), so the
+        sharded program is row-for-row IDENTICAL to the single-device one."""
+        from inpaintnet_tpu.ops.quantize import serving_quant
+
+        model = self.model
+        quant = self._quant
+
+        def core(params, vae_params, past, pm, future, fm, tm, row_keys):
+            with serving_quant(quant):
+                _, samples, _ = model.apply(
+                    params, vae_params, past, future, None,
+                    past_mask=pm, future_mask=fm, target_mask=tm,
+                    train=False, rng=jax.random.PRNGKey(0),
+                    row_keys=row_keys,
+                )
+            return samples
+
+        if self.mesh is None:
+            return core
+
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(
+            core,
+            mesh=self.mesh,
+            in_specs=(P(), P()) + (P("data"),) * 6,
+            out_specs=P("data"),
+            check_vma=False,
+        )
+
     def _compiled_for(self, batch: int):
         bucket = next((b for b in self.batch_buckets if b >= batch),
                       self.batch_buckets[-1])
         if bucket not in self._compiled:
             self._compiled[bucket] = jax.jit(self._fn())
         return bucket, self._compiled[bucket]
+
+    def _compiled_for_hetero(self, rows: int):
+        bucket = next((b for b in self.batch_buckets if b >= rows),
+                      self.batch_buckets[-1])
+        key = ("hetero", bucket)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(self._fn_hetero())
+        return bucket, self._compiled[key]
 
     def warmup(self, buckets: Optional[Sequence[int]] = None,
                variations: bool = True) -> None:
@@ -181,18 +224,26 @@ class InpaintingEngine:
                     num_variations=1, seed=0,
                 )
 
+    def _validate_request(self, tokens: np.ndarray, start_measure: int,
+                          num_measures: int):
+        """Shared request validation -> (b, m, n_past, n_future)."""
+        b, m, msl = tokens.shape
+        assert msl == self.msl, (msl, self.msl)
+        assert 1 <= num_measures <= self.max_target
+        assert 0 < start_measure and start_measure + num_measures < m + 1
+        assert m <= self.n_bars, (m, self.n_bars)
+        return b, m, start_measure, m - start_measure - num_measures
+
     def _pack_request(self, tokens: np.ndarray, start_measure: int,
                       num_measures: int, bucket: int):
         """Validate + pad a request into the static (bucket, n_bars, msl)
         layout; single source of truth for inpaint/inpaint_variations."""
         tokens = np.asarray(tokens)
-        b, m, msl = tokens.shape
+        b, m, n_past, n_future = self._validate_request(
+            tokens, start_measure, num_measures
+        )
         assert b <= bucket, f"batch {b} exceeds bucket {bucket}"
-        assert msl == self.msl, (msl, self.msl)
-        assert 1 <= num_measures <= self.max_target
-        assert 0 < start_measure and start_measure + num_measures < m + 1
-        n_past = start_measure
-        n_future = m - start_measure - num_measures
+        msl = self.msl
         nb = self.n_bars
         past = np.zeros((bucket, nb, msl), np.int32)
         future = np.zeros((bucket, nb, msl), np.int32)
@@ -246,6 +297,91 @@ class InpaintingEngine:
             :b, :num_measures
         ]
         return out
+
+    def inpaint_hetero(self, requests: Sequence[dict]) -> list:
+        """One device call serving SEVERAL independent requests with
+        (possibly) different inpaint spans — the dynamic-batching
+        primitive behind :class:`inpaintnet_tpu.server.InpaintingServer`'s
+        request coalescing.
+
+        The compiled program already takes per-row past/future buffers and
+        validity masks (static masked buffers are how ONE compilation
+        serves every split shape), so heterogeneous requests pack into one
+        batch for free. Per-row PRNG keys (``fold_in(request_key, row)``)
+        make each row's output depend on its own request alone: a request
+        gets the SAME tokens whether it runs solo or coalesced with others
+        (bit-exact for f32/bf16 serving at a given bucket; int8 is
+        near-exact — the decoder's data-dependent init-hidden quant bound
+        spans the batch).
+
+        :param requests: sequence of dicts with keys ``tokens`` (b, M,
+            msl), ``start_measure``, ``num_measures``, optional ``seed``
+            (default: engine seed — identical seedless requests return
+            identical tokens, matching their solo behavior; pass distinct
+            seeds or use :meth:`inpaint_variations` for diversity)
+        :return: list of (b, M, msl) outputs, one per request, each with
+            only its span replaced
+
+        Non-autoregressive engines only (the autoregressive scan re-samples
+        from a batch-level key, breaking row independence).
+        """
+        if self.model.auto_reg:
+            raise ValueError(
+                "inpaint_hetero requires the non-autoregressive serving "
+                "config (auto_reg generation draws from a batch-level key)"
+            )
+        if not requests:
+            return []
+        norm = []
+        rows = 0
+        for r in requests:
+            tokens = np.asarray(r["tokens"])
+            start, num = r["start_measure"], r["num_measures"]
+            b, m, n_past, n_future = self._validate_request(
+                tokens, start, num
+            )
+            norm.append((tokens, start, num, r.get("seed"), b, m,
+                         n_past, n_future))
+            rows += b
+        if rows > self.batch_buckets[-1]:
+            raise ValueError(
+                f"{rows} total rows exceed the largest bucket "
+                f"({self.batch_buckets[-1]}); split the request set"
+            )
+        bucket, fn = self._compiled_for_hetero(rows)
+        nb, msl = self.n_bars, self.msl
+        past = np.zeros((bucket, nb, msl), np.int32)
+        future = np.zeros((bucket, nb, msl), np.int32)
+        pm = np.zeros((bucket, nb), np.float32)
+        fm = np.zeros((bucket, nb), np.float32)
+        tm = np.zeros((bucket, self.max_target), np.float32)
+        row_keys = np.zeros((bucket, 2), np.uint32)
+        lo = 0
+        for tokens, start, num, seed, b, m, n_past, n_future in norm:
+            sl = slice(lo, lo + b)
+            past[sl, :n_past] = tokens[:, :n_past]
+            if n_future:
+                future[sl, :n_future] = tokens[:, m - n_future:]
+            pm[sl, :n_past] = 1
+            fm[sl, :n_future] = 1
+            tm[sl, :num] = 1
+            base = self._seed_key(seed)
+            row_keys[sl] = np.asarray(
+                jax.vmap(lambda j, k=base: jax.random.fold_in(k, j))(
+                    jnp.arange(b)
+                )
+            )
+            lo += b
+        args = self._place_batch((past, pm, future, fm, tm, row_keys))
+        samples = np.asarray(fn(self._params, self._vae_params, *args))
+        outs = []
+        lo = 0
+        for tokens, start, num, seed, b, m, n_past, n_future in norm:
+            out = tokens.copy()
+            out[:, start : start + num] = samples[lo : lo + b, :num]
+            outs.append(out)
+            lo += b
+        return outs
 
     def inpaint_variations(
         self,

@@ -40,7 +40,9 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
+import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -115,17 +117,127 @@ def _get_int(payload, name, lo=None, hi=None):
     return v
 
 
+class _Slot:
+    """One waiting request in the batcher's queue."""
+    __slots__ = ("event", "result", "error")
+
+    def __init__(self):
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
+class _Batcher:
+    """Dynamic request coalescing: concurrent ``/v1/inpaint`` requests are
+    drained from a queue into ONE :meth:`InpaintingEngine.inpaint_hetero`
+    device call (per-row masks let heterogeneous spans share a batch;
+    per-row PRNG keys keep every response bit-identical to its solo run —
+    see serve.py). The dispatcher waits up to ``max_wait_ms`` after the
+    first request of a batch for co-travellers, so a lone request pays at
+    most that much extra latency while a burst of N batch-1 requests pays
+    ~one device step total instead of N.
+    """
+
+    _STOP = object()
+
+    def __init__(self, engine, lock, max_wait_ms: float = 5.0,
+                 max_rows: Optional[int] = None):
+        self.engine = engine
+        self.lock = lock
+        self.max_wait = max_wait_ms / 1e3
+        self.max_rows = max_rows or engine.batch_buckets[-1]
+        self.queue: queue.Queue = queue.Queue()
+        self.calls = 0      # device batches dispatched
+        self.requests = 0   # requests served through those batches
+        self._pending = None  # held-over item that didn't fit the last batch
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, request: dict):
+        """Enqueue one request dict (tokens/start_measure/num_measures/
+        seed) and block until its batch has run. Raises the engine's
+        exception if the batch failed."""
+        slot = _Slot()
+        self.queue.put((request, slot))
+        slot.event.wait()
+        if slot.error is not None:
+            raise slot.error
+        return slot.result
+
+    def stop(self):
+        self.queue.put(self._STOP)
+        self._thread.join(timeout=5)
+
+    @staticmethod
+    def _rows(item) -> int:
+        return item[0]["tokens"].shape[0]
+
+    def _loop(self):
+        while True:
+            first = self._pending if self._pending is not None \
+                else self.queue.get()
+            self._pending = None
+            if first is self._STOP:
+                return
+            batch = [first]
+            rows = self._rows(first)
+            deadline = time.monotonic() + self.max_wait
+            while rows < self.max_rows:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is self._STOP or rows + self._rows(nxt) > self.max_rows:
+                    self._pending = nxt  # serve it in the next round
+                    break
+                batch.append(nxt)
+                rows += self._rows(nxt)
+            self.calls += 1
+            self.requests += len(batch)
+            try:
+                with self.lock:
+                    outs = self.engine.inpaint_hetero(
+                        [req for req, _ in batch]
+                    )
+            except Exception as exc:  # noqa: BLE001 — fan the error out
+                for _, slot in batch:
+                    slot.error = exc
+                    slot.event.set()
+            else:
+                for (_, slot), out in zip(batch, outs):
+                    slot.result = out
+                    slot.event.set()
+
+
 class InpaintingServer:
     """Serve one :class:`InpaintingEngine` over HTTP.
 
     ``start()`` runs in a daemon thread and returns the bound port
     (pass ``port=0`` for an ephemeral one); ``serve_forever()`` blocks.
+
+    With ``batching=True`` (non-autoregressive engines only), concurrent
+    ``/v1/inpaint`` / ``/v1/inpaint_ticks`` requests coalesce into one
+    device batch (see :class:`_Batcher`); responses are bit-identical to
+    the unbatched ones, so the flag is purely a throughput knob.
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
-                 quiet: bool = True):
+                 quiet: bool = True, batching: bool = False,
+                 max_wait_ms: float = 5.0):
         self.engine = engine
         self._lock = threading.Lock()  # engine calls are serialized
+        if batching and engine.model.auto_reg:
+            raise ValueError(
+                "dynamic batching requires the non-autoregressive serving "
+                "config (see InpaintingEngine.inpaint_hetero)"
+            )
+        self._batcher = (
+            _Batcher(engine, self._lock, max_wait_ms=max_wait_ms)
+            if batching else None
+        )
         self._httpd = ThreadingHTTPServer((host, port),
                                           self._make_handler(quiet))
         self._httpd.daemon_threads = True
@@ -150,6 +262,8 @@ class InpaintingServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        if self._batcher is not None:
+            self._batcher.stop()
 
     # ------------------------------------------------------------------ #
 
@@ -167,16 +281,43 @@ class InpaintingServer:
         }
 
     def _health(self) -> dict:
-        return {
+        out = {
             "status": "ok",
             "buckets": list(self.engine.batch_buckets),
-            "warmed": sorted(self.engine._compiled),
+            "warmed": sorted(self.engine._compiled, key=str),
         }
+        if self._batcher is not None:
+            out["batching"] = {
+                "calls": self._batcher.calls,
+                "requests": self._batcher.requests,
+                "max_wait_ms": self._batcher.max_wait * 1e3,
+                "max_rows": self._batcher.max_rows,
+            }
+        return out
+
+    def _run_inpaint(self, tokens, start: int, num: int, seed):
+        """Dispatch one inpaint: through the batcher when enabled (and the
+        request fits a single device batch), else a locked engine call."""
+        if (self._batcher is not None
+                and tokens.shape[0] <= self._batcher.max_rows):
+            return self._batcher.submit({
+                "tokens": tokens, "start_measure": start,
+                "num_measures": num, "seed": seed,
+            })
+        with self._lock:
+            return self.engine.inpaint(tokens, start, num, seed=seed)
 
     def _inpaint(self, payload: dict) -> dict:
         e = self.engine
         tokens, single = _get_tokens(payload, e.msl)
         m = tokens.shape[1]
+        if m > e.n_bars:
+            # validate BEFORE enqueue: a bad request must 400 on its own,
+            # not fail a coalesced batch it shares with others
+            raise _BadRequest(
+                f"tokens have {m} measures; the engine serves at most "
+                f"{e.n_bars}"
+            )
         num = _get_int(payload, "num_measures", 1, e.max_target)
         # >= 1: generation seeds from the last past measure's latent
         # (reference latent_rnn.py:148-151), so one past measure must exist
@@ -184,8 +325,7 @@ class InpaintingServer:
         seed = payload.get("seed")
         if seed is not None and not isinstance(seed, int):
             raise _BadRequest("seed must be an integer")
-        with self._lock:
-            out = e.inpaint(tokens, start, num, seed=seed)
+        out = self._run_inpaint(tokens, start, num, seed)
         return {"tokens": out[0] if single else out}
 
     def _inpaint_variations(self, payload: dict) -> dict:
@@ -223,6 +363,11 @@ class InpaintingServer:
                 f"multiple of {e.msl}; got shape {tokens.shape}"
             )
         total = tokens.shape[1]
+        if total // e.msl > e.n_bars:
+            raise _BadRequest(
+                f"sequence has {total // e.msl} measures; the engine "
+                f"serves at most {e.n_bars}"
+            )
         end = _get_int(payload, "end_tick", 1, total)
         # start >= msl: at least one past measure (see _inpaint)
         start = _get_int(payload, "start_tick", e.msl, end - 1)
@@ -238,8 +383,15 @@ class InpaintingServer:
         seed = payload.get("seed")
         if seed is not None and not isinstance(seed, int):
             raise _BadRequest("seed must be an integer")
-        with self._lock:
-            out = e.inpaint_ticks(tokens, (start, end), seed=seed)
+        if self._batcher is not None:
+            out3 = self._run_inpaint(
+                tokens.reshape(1, -1, e.msl), start // e.msl,
+                (end - start) // e.msl, seed,
+            )
+            out = out3.reshape(1, -1)
+        else:
+            with self._lock:
+                out = e.inpaint_ticks(tokens, (start, end), seed=seed)
         return {"tokens": out[0] if single else out}
 
     def _make_handler(self, quiet: bool):

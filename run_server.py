@@ -45,13 +45,21 @@ from inpaintnet_tpu.server import InpaintingServer
               help='comma-separated engine batch buckets')
 @click.option('--warmup/--no_warmup', default=False,
               help='pre-compile every bucket before accepting traffic')
+@click.option('--batching/--no_batching', default=False,
+              help='coalesce concurrent inpaint requests into one device '
+                   'batch (non-autoregressive engines only; responses are '
+                   'deterministic per request regardless of coalescing)')
+@click.option('--max_wait_ms', default=5.0,
+              help='batching: how long the first request of a batch waits '
+                   'for co-travellers')
 @dataset_options
 def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          encoder_hidden_size, encoder_dropout_prob, has_metadata,
          latent_space_dim, num_decoder_layers, decoder_hidden_size,
          decoder_dropout_prob, num_latent_rnn_layers, latent_rnn_hidden_size,
          latent_rnn_dropout_prob, auto_reg, host, port, serve_dtype,
-         batch_buckets, warmup, dataset_name, corpus_dir, cache_dir):
+         batch_buckets, warmup, batching, max_wait_ms,
+         dataset_name, corpus_dir, cache_dir):
     folk_dataset_train, _ = standard_datasets(
         dataset_name, cache_dir=cache_dir, corpus_dir=corpus_dir
     )
@@ -87,7 +95,8 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
     if warmup:
         print('warming up (compiling every bucket)...', flush=True)
         engine.warmup()
-    server = InpaintingServer(engine, host=host, port=port, quiet=False)
+    server = InpaintingServer(engine, host=host, port=port, quiet=False,
+                              batching=batching, max_wait_ms=max_wait_ms)
     print(f'serving on http://{host}:{server.port}', flush=True)
     try:
         server.serve_forever()

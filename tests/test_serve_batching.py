@@ -1,0 +1,240 @@
+"""Heterogeneous-batch serving (`InpaintingEngine.inpaint_hetero`) and the
+HTTP server's dynamic request coalescing (`server.py _Batcher`).
+
+The coalescing contract: the compiled serving program takes per-row
+past/future buffers + validity masks (one compilation serves every split
+shape) and per-row PRNG keys, so a request's response is BIT-IDENTICAL
+whether it runs solo or shares a device batch with arbitrary other
+requests — dynamic batching is a pure throughput knob.
+"""
+import http.client
+import json
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from inpaintnet_tpu.models import LatentRNN, MeasureVAE
+from inpaintnet_tpu.serve import InpaintingEngine
+from inpaintnet_tpu.server import InpaintingServer
+
+V = 30
+
+
+class _DS:
+    note2index_dicts = [{f"t{i}": i for i in range(V)}]
+
+    def __repr__(self):
+        return "ds"
+
+
+def _models(auto_reg=False):
+    vae = MeasureVAE(_DS(), note_embedding_dim=8, num_encoder_layers=2,
+                     encoder_hidden_size=16, latent_space_dim=12,
+                     num_decoder_layers=2, decoder_hidden_size=16)
+    vae.init(jax.random.PRNGKey(0))
+    m = LatentRNN(_DS(), vae, num_rnn_layers=2, rnn_hidden_size=16,
+                  dropout=0.5, auto_reg=auto_reg)
+    m.init(jax.random.PRNGKey(1))
+    return m
+
+
+@pytest.fixture(scope="module")
+def engine():
+    # ONE bucket so solo and coalesced requests share the compiled shape
+    # (bit-exactness across bucket sizes is not part of the contract)
+    return InpaintingEngine(_models(), batch_buckets=(8,), dtype="float32")
+
+
+def _toks(b, m, seed):
+    return np.random.RandomState(seed).randint(0, V, (b, m, 24)).astype(
+        np.int32
+    )
+
+
+def _reqs():
+    return [
+        {"tokens": _toks(2, 16, 0), "start_measure": 8, "num_measures": 2,
+         "seed": 5},
+        {"tokens": _toks(3, 12, 1), "start_measure": 4, "num_measures": 3,
+         "seed": 9},
+        {"tokens": _toks(1, 16, 2), "start_measure": 2, "num_measures": 1},
+    ]
+
+
+def test_hetero_solo_equals_coalesced(engine):
+    """THE contract: each request's tokens are identical whether it runs
+    alone or packed with others (different spans, widths, batch rows)."""
+    reqs = _reqs()
+    coalesced = engine.inpaint_hetero(reqs)
+    for req, got in zip(reqs, coalesced):
+        solo = engine.inpaint_hetero([req])[0]
+        np.testing.assert_array_equal(got, solo)
+
+
+def test_hetero_shapes_and_context_preserved(engine):
+    reqs = _reqs()
+    outs = engine.inpaint_hetero(reqs)
+    assert len(outs) == len(reqs)
+    for req, out in zip(reqs, outs):
+        t = req["tokens"]
+        s, n = req["start_measure"], req["num_measures"]
+        assert out.shape == t.shape
+        np.testing.assert_array_equal(out[:, :s], t[:, :s])
+        np.testing.assert_array_equal(out[:, s + n:], t[:, s + n:])
+        assert out.min() >= 0 and out.max() < V
+
+
+def test_hetero_deterministic_and_seed_sensitivity(engine):
+    reqs = _reqs()
+    a = engine.inpaint_hetero(reqs)
+    b = engine.inpaint_hetero(reqs)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # a different seed for one request changes ONLY that request's span
+    reqs2 = [dict(r) for r in reqs]
+    reqs2[0]["seed"] = 6
+    c = engine.inpaint_hetero(reqs2)
+    assert not np.array_equal(a[0], c[0])
+    np.testing.assert_array_equal(a[1], c[1])
+    np.testing.assert_array_equal(a[2], c[2])
+
+
+def test_hetero_rejects_autoreg_and_oversize(engine):
+    auto = InpaintingEngine(_models(auto_reg=True), batch_buckets=(8,),
+                            dtype="float32")
+    with pytest.raises(ValueError, match="auto"):
+        auto.inpaint_hetero([{
+            "tokens": _toks(1, 16, 0), "start_measure": 2,
+            "num_measures": 1,
+        }])
+    with pytest.raises(ValueError, match="rows"):
+        engine.inpaint_hetero([{
+            "tokens": _toks(9, 16, 0), "start_measure": 2,
+            "num_measures": 1,
+        }])
+    assert engine.inpaint_hetero([]) == []
+
+
+def test_hetero_compilation_cached_separately(engine):
+    engine.inpaint_hetero(_reqs())
+    assert ("hetero", 8) in engine._compiled
+
+
+def test_hetero_mesh_equals_single_device(engine, devices8):
+    """Per-row keys shard WITH their rows, so the mesh-sharded hetero
+    program is row-for-row IDENTICAL to the single-device one (stronger
+    than the batch-key path, which decorrelates shards via fold_in)."""
+    from inpaintnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(num_devices=8)
+    eng_mesh = InpaintingEngine(engine.model, batch_buckets=(8,),
+                                dtype="float32", mesh=mesh)
+    reqs = _reqs()
+    single = engine.inpaint_hetero(reqs)
+    sharded = eng_mesh.inpaint_hetero(reqs)
+    for x, y in zip(single, sharded):
+        np.testing.assert_array_equal(x, y)
+
+
+# --------------------------------------------------------------------------- #
+# HTTP dynamic batching
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def batch_server():
+    engine = InpaintingEngine(_models(), batch_buckets=(8,),
+                              dtype="float32")
+    srv = InpaintingServer(engine, port=0, batching=True, max_wait_ms=1000)
+    srv.start()
+    # warm the hetero program so timed coalescing below isn't compile-bound
+    engine.inpaint_hetero([{"tokens": _toks(1, 16, 99), "start_measure": 1,
+                            "num_measures": 1}])
+    yield srv
+    srv.stop()
+
+
+def _post(server, path, payload):
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+    conn.request("POST", path, body=json.dumps(payload),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    conn.close()
+    return resp.status, out
+
+
+def test_server_coalesces_concurrent_requests(batch_server):
+    """Concurrent requests with different spans land in ONE device batch
+    (the 1 s max_wait window dwarfs the enqueue skew), and every response
+    equals its solo engine run bit-for-bit."""
+    reqs = _reqs()
+    calls_before = batch_server._batcher.calls
+    results = [None] * len(reqs)
+
+    def post(i):
+        status, out = _post(batch_server, "/v1/inpaint", {
+            "tokens": reqs[i]["tokens"].tolist(),
+            "start_measure": reqs[i]["start_measure"],
+            "num_measures": reqs[i]["num_measures"],
+            **({"seed": reqs[i]["seed"]} if "seed" in reqs[i] else {}),
+        })
+        assert status == 200
+        results[i] = np.asarray(out["tokens"])
+
+    threads = [threading.Thread(target=post, args=(i,))
+               for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert batch_server._batcher.calls == calls_before + 1, \
+        "requests did not coalesce into one device batch"
+    for req, got in zip(reqs, results):
+        solo = batch_server.engine.inpaint_hetero([req])[0]
+        np.testing.assert_array_equal(got, solo)
+
+
+def test_server_batching_stats_and_validation(batch_server):
+    status, health = _post_get(batch_server, "/healthz")
+    assert status == 200
+    assert health["batching"]["calls"] >= 1
+    assert health["batching"]["requests"] >= health["batching"]["calls"]
+    # an invalid request 400s on its own — it must never reach the queue
+    # where it could fail a shared batch
+    status, out = _post(batch_server, "/v1/inpaint", {
+        "tokens": _toks(1, 20, 0).tolist(), "start_measure": 2,
+        "num_measures": 1,
+    })
+    assert status == 400 and "measures" in out["error"]
+
+
+def _post_get(server, path):
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    conn.close()
+    return resp.status, out
+
+
+def test_server_batched_ticks_roundtrip(batch_server):
+    score = _toks(1, 16, 7).reshape(1, -1)
+    status, out = _post(batch_server, "/v1/inpaint_ticks", {
+        "tokens": score[0].tolist(), "start_tick": 24 * 6,
+        "end_tick": 24 * 8, "seed": 3,
+    })
+    assert status == 200
+    got = np.asarray(out["tokens"])
+    assert got.shape == (16 * 24,)
+    np.testing.assert_array_equal(got[: 24 * 6], score[0, : 24 * 6])
+    np.testing.assert_array_equal(got[24 * 8:], score[0, 24 * 8:])
+
+
+def test_server_rejects_batching_autoreg():
+    engine = InpaintingEngine(_models(auto_reg=True), batch_buckets=(8,),
+                              dtype="float32")
+    with pytest.raises(ValueError, match="non-autoregressive"):
+        InpaintingServer(engine, port=0, batching=True)

@@ -29,23 +29,49 @@ SECONDS = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
 N_BARS, MSL = 16, 24
 
 
+USE_JSON = os.environ.get("INPAINTNET_BENCH_JSON") == "1"
+
+
 def _client_loop(port: int, vocab: int, stop: float, lat, done, idx: int):
+    import io
+
     rs = np.random.RandomState(1000 + idx)
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
     n = 0
     while time.perf_counter() < stop:
-        tokens = rs.randint(0, vocab, (1, N_BARS, MSL)).tolist()
+        tokens = rs.randint(0, vocab, (1, N_BARS, MSL)).astype(np.int32)
         start = int(rs.randint(4, 11))
         num = int(rs.randint(1, 5))
-        body = json.dumps({
-            "tokens": tokens, "start_measure": start, "num_measures": num,
-            "seed": int(rs.randint(0, 1 << 30)),
-        })
+        seed = int(rs.randint(0, 1 << 30))
+        if USE_JSON:
+            path = "/v1/inpaint"
+            body = json.dumps({
+                "tokens": tokens.tolist(), "start_measure": start,
+                "num_measures": num, "seed": seed,
+            })
+            headers = {"Content-Type": "application/json"}
+        else:
+            # npy bulk transport: JSON encode/decode dominates the server's
+            # per-request host cost (docs/SERVING.md "Bulk transport")
+            path = (f"/v1/inpaint?start_measure={start}"
+                    f"&num_measures={num}&seed={seed}")
+            buf = io.BytesIO()
+            np.save(buf, tokens)
+            body = buf.getvalue()
+            headers = {"Content-Type": "application/x-npy"}
         t0 = time.perf_counter()
-        conn.request("POST", "/v1/inpaint", body=body,
-                     headers={"Content-Type": "application/json"})
-        resp = conn.getresponse()
-        resp.read()
+        for attempt in range(3):
+            try:
+                conn.request("POST", path, body=body, headers=headers)
+                resp = conn.getresponse()
+                resp.read()
+                break
+            except (ConnectionError, http.client.HTTPException, OSError):
+                conn.close()
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=120)
+        else:
+            raise RuntimeError("request failed after retries")
         lat.append(time.perf_counter() - t0)
         assert resp.status == 200, resp.status
         n += 1
@@ -111,22 +137,21 @@ def main():
     dtype = "int8" if quant == "int8" else (
         "float32" if jax.devices()[0].platform == "cpu" else "bfloat16"
     )
-    big_bucket = 64 if small else 256
-    engine = InpaintingEngine(model, batch_buckets=(1, big_bucket),
-                              dtype=dtype)
+    buckets = (1, 8, 64) if small else (1, 64, 256)
+    engine = InpaintingEngine(model, batch_buckets=buckets, dtype=dtype)
     print(f"platform={jax.devices()[0].platform} dtype={dtype} "
-          f"clients={CLIENTS} seconds={SECONDS} buckets=(1,{big_bucket})",
+          f"clients={CLIENTS} seconds={SECONDS} buckets={buckets}",
           flush=True)
 
     # warm + ramp every program the two modes will touch (landmine #6)
     dummy = np.zeros((1, N_BARS, MSL), np.int32)
     req = {"tokens": dummy, "start_measure": 1, "num_measures": 1}
-    big = {"tokens": np.zeros((big_bucket, N_BARS, MSL), np.int32),
-           "start_measure": 1, "num_measures": 1}
+    fills = [{"tokens": np.zeros((bk, N_BARS, MSL), np.int32),
+              "start_measure": 1, "num_measures": 1} for bk in buckets]
     for _ in range(3 if small else 30):
         engine.inpaint(dummy, 1, 1, seed=0)
-        engine.inpaint_hetero([req])
-        engine.inpaint_hetero([big])
+        for f in fills:
+            engine.inpaint_hetero([f])
 
     for batching in (False, True):
         r = run_mode(engine, batching)

@@ -21,6 +21,39 @@ import numpy as np
 
 from inpaintnet_tpu.models.base import cast_pytree
 
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (full-avalanche 64-bit hash)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
+    return x ^ (x >> np.uint64(31))
+
+
+def derive_row_keys(seed: int, n: int) -> np.ndarray:
+    """Per-row PRNG keys for :meth:`InpaintingEngine.inpaint_hetero`,
+    derived HOST-side: a ``jax.random.fold_in`` per request would be a
+    separate tiny device dispatch whose tunnel round-trip costs more than
+    the whole coalesced device step (docs/PERFORMANCE.md landmine #2).
+    Double splitmix64 hash of (request seed, row index) -> (n, 2) uint32,
+    consumed by ``jax.random.normal`` as raw threefry key data. Depends
+    only on (seed, row-within-request) — the coalescing-independence
+    contract."""
+    with np.errstate(over="ignore"):
+        s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+        base = _splitmix64(np.full(n, s, np.uint64))
+        j = np.arange(n, dtype=np.uint64)
+        h = _splitmix64(
+            base ^ ((j * np.uint64(0xD2B74407B1CE6E93) + np.uint64(1)) & _M64)
+        )
+    return np.stack(
+        [(h >> np.uint64(32)).astype(np.uint32),
+         (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
+        axis=1,
+    )
+
 
 class InpaintingEngine:
     def __init__(
@@ -169,6 +202,12 @@ class InpaintingEngine:
         quant = self._quant
 
         def core(params, vae_params, past, pm, future, fm, tm, row_keys):
+            # requests arrive in compact wire dtypes (int16 tokens, uint8
+            # masks) — host->device bandwidth is the per-call cost at
+            # small batches (landmine #3); widen on device
+            past = past.astype(jnp.int32)
+            future = future.astype(jnp.int32)
+            pm, fm, tm = (m.astype(jnp.float32) for m in (pm, fm, tm))
             with serving_quant(quant):
                 _, samples, _ = model.apply(
                     params, vae_params, past, future, None,
@@ -307,8 +346,9 @@ class InpaintingEngine:
         The compiled program already takes per-row past/future buffers and
         validity masks (static masked buffers are how ONE compilation
         serves every split shape), so heterogeneous requests pack into one
-        batch for free. Per-row PRNG keys (``fold_in(request_key, row)``)
-        make each row's output depend on its own request alone: a request
+        batch for free. Per-row PRNG keys (host-derived from
+        (request seed, row) — :func:`derive_row_keys`) make each row's
+        output depend on its own request alone: a request
         gets the SAME tokens whether it runs solo or coalesced with others
         (bit-exact for f32/bf16 serving at a given bucket; int8 is
         near-exact — the decoder's data-dependent init-hidden quant bound
@@ -350,11 +390,15 @@ class InpaintingEngine:
             )
         bucket, fn = self._compiled_for_hetero(rows)
         nb, msl = self.n_bars, self.msl
-        past = np.zeros((bucket, nb, msl), np.int32)
-        future = np.zeros((bucket, nb, msl), np.int32)
-        pm = np.zeros((bucket, nb), np.float32)
-        fm = np.zeros((bucket, nb), np.float32)
-        tm = np.zeros((bucket, self.max_target), np.float32)
+        # compact wire dtypes (cast back on device in _fn_hetero's core):
+        # the big context buffers dominate per-call host->device transfer
+        tok_dtype = (np.int16 if self.model.vae_model.num_notes < 2**15
+                     else np.int32)
+        past = np.zeros((bucket, nb, msl), tok_dtype)
+        future = np.zeros((bucket, nb, msl), tok_dtype)
+        pm = np.zeros((bucket, nb), np.uint8)
+        fm = np.zeros((bucket, nb), np.uint8)
+        tm = np.zeros((bucket, self.max_target), np.uint8)
         row_keys = np.zeros((bucket, 2), np.uint32)
         lo = 0
         for tokens, start, num, seed, b, m, n_past, n_future in norm:
@@ -365,11 +409,8 @@ class InpaintingEngine:
             pm[sl, :n_past] = 1
             fm[sl, :n_future] = 1
             tm[sl, :num] = 1
-            base = self._seed_key(seed)
-            row_keys[sl] = np.asarray(
-                jax.vmap(lambda j, k=base: jax.random.fold_in(k, j))(
-                    jnp.arange(b)
-                )
+            row_keys[sl] = derive_row_keys(
+                self.seed if seed is None else seed, b
             )
             lo += b
         args = self._place_batch((past, pm, future, fm, tm, row_keys))

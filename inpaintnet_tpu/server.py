@@ -54,6 +54,14 @@ __all__ = ["InpaintingServer"]
 _MAX_BODY = 256 * 1024 * 1024
 
 
+class _HTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+    # the stdlib default listen backlog (5) drops/resets connections when
+    # tens of clients connect in one burst — exactly the dynamic-batching
+    # workload
+    request_queue_size = 128
+
+
 class _BadRequest(ValueError):
     pass
 
@@ -238,9 +246,7 @@ class InpaintingServer:
             _Batcher(engine, self._lock, max_wait_ms=max_wait_ms)
             if batching else None
         )
-        self._httpd = ThreadingHTTPServer((host, port),
-                                          self._make_handler(quiet))
-        self._httpd.daemon_threads = True
+        self._httpd = _HTTPServer((host, port), self._make_handler(quiet))
         self._thread: Optional[threading.Thread] = None
 
     @property

@@ -233,6 +233,35 @@ def test_server_batched_ticks_roundtrip(batch_server):
     np.testing.assert_array_equal(got[24 * 8:], score[0, 24 * 8:])
 
 
+def test_client_roundtrip_npy_and_json(batch_server):
+    """The client library against a live batching server: npy (default)
+    and JSON transports return identical results; errors surface as
+    ServerError with the server's message."""
+    from inpaintnet_tpu.client import InpaintingClient, ServerError
+
+    toks = _toks(2, 16, 11)
+    with InpaintingClient("127.0.0.1", batch_server.port) as c:
+        meta = c.meta()
+        assert meta["measure_seq_len"] == 24
+        assert c.health()["status"] == "ok"
+        out = c.inpaint(toks, 6, 2, seed=4)
+        assert out.shape == toks.shape
+        np.testing.assert_array_equal(out[:, :6], toks[:, :6])
+        with InpaintingClient("127.0.0.1", batch_server.port,
+                              transport="json") as cj:
+            np.testing.assert_array_equal(cj.inpaint(toks, 6, 2, seed=4),
+                                          out)
+        var = c.inpaint_variations(toks, 6, 2, num_variations=2, seed=1)
+        assert var.shape == (2,) + toks.shape
+        row = _toks(1, 16, 12).reshape(-1)
+        got = c.inpaint_ticks(row, 24 * 6, 24 * 8, seed=2)
+        assert got.shape == row.shape
+        np.testing.assert_array_equal(got[: 24 * 6], row[: 24 * 6])
+        with pytest.raises(ServerError) as ei:
+            c.inpaint(toks, 0, 2)  # start_measure must be >= 1
+        assert ei.value.status == 400
+
+
 def test_server_rejects_batching_autoreg():
     engine = InpaintingEngine(_models(auto_reg=True), batch_buckets=(8,),
                               dtype="float32")

@@ -246,14 +246,16 @@ class InpaintingEngine:
         return bucket, self._compiled[key]
 
     def warmup(self, buckets: Optional[Sequence[int]] = None,
-               variations: bool = True) -> None:
+               variations: bool = True, hetero: bool = False) -> None:
         """Pre-compile (and run once) the serving programs for the given
         buckets (default: all) so the first real request doesn't pay the
-        compile. Covers both ``inpaint`` and (unless ``variations=False``)
-        the ``inpaint_variations`` encode/generate programs — jit caches
-        are per batch shape, so each bucket is warmed individually. Runs
-        a dummy 1-measure request per bucket and blocks until the result
-        is on the host."""
+        compile. Covers ``inpaint``, (unless ``variations=False``) the
+        ``inpaint_variations`` encode/generate programs, and (with
+        ``hetero=True``) the per-row-key ``inpaint_hetero`` programs the
+        dynamic-batching server dispatches to — jit caches are per batch
+        shape, so each bucket is warmed individually. Runs a dummy
+        1-measure request per bucket and blocks until the result is on
+        the host."""
         for bucket in (buckets if buckets is not None else self.batch_buckets):
             tokens = np.zeros((bucket, self.n_bars, self.msl), np.int32)
             self.inpaint(tokens, start_measure=1, num_measures=1, seed=0)
@@ -262,6 +264,11 @@ class InpaintingEngine:
                     tokens, start_measure=1, num_measures=1,
                     num_variations=1, seed=0,
                 )
+            if hetero and not self.model.auto_reg:
+                self.inpaint_hetero([{
+                    "tokens": tokens, "start_measure": 1,
+                    "num_measures": 1, "seed": 0,
+                }])
 
     def _validate_request(self, tokens: np.ndarray, start_measure: int,
                           num_measures: int):

@@ -94,7 +94,7 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
                               dtype=serve_dtype)
     if warmup:
         print('warming up (compiling every bucket)...', flush=True)
-        engine.warmup()
+        engine.warmup(hetero=batching)
     server = InpaintingServer(engine, host=host, port=port, quiet=False,
                               batching=batching, max_wait_ms=max_wait_ms)
     print(f'serving on http://{host}:{server.port}', flush=True)

@@ -262,6 +262,14 @@ def test_client_roundtrip_npy_and_json(batch_server):
         assert ei.value.status == 400
 
 
+def test_warmup_covers_hetero_programs(engine):
+    """warmup(hetero=True) pre-compiles the per-row-key programs the
+    batching server dispatches to — no compile on the first coalesced
+    batch."""
+    engine.warmup(buckets=[8], variations=False, hetero=True)
+    assert ("hetero", 8) in engine._compiled
+
+
 def test_server_rejects_batching_autoreg():
     engine = InpaintingEngine(_models(auto_reg=True), batch_buckets=(8,),
                               dtype="float32")

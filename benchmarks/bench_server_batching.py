@@ -17,7 +17,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import http.client
 import json
 import threading
 import time
@@ -29,53 +28,29 @@ SECONDS = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
 N_BARS, MSL = 16, 24
 
 
-USE_JSON = os.environ.get("INPAINTNET_BENCH_JSON") == "1"
+# npy transport by default: JSON encode/decode dominates the server's
+# per-request host cost at this rate (docs/SERVING.md "Bulk transport")
+TRANSPORT = "json" if os.environ.get("INPAINTNET_BENCH_JSON") == "1" \
+    else "npy"
 
 
 def _client_loop(port: int, vocab: int, stop: float, lat, done, idx: int):
-    import io
+    from inpaintnet_tpu.client import InpaintingClient
 
     rs = np.random.RandomState(1000 + idx)
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
     n = 0
-    while time.perf_counter() < stop:
-        tokens = rs.randint(0, vocab, (1, N_BARS, MSL)).astype(np.int32)
-        start = int(rs.randint(4, 11))
-        num = int(rs.randint(1, 5))
-        seed = int(rs.randint(0, 1 << 30))
-        if USE_JSON:
-            path = "/v1/inpaint"
-            body = json.dumps({
-                "tokens": tokens.tolist(), "start_measure": start,
-                "num_measures": num, "seed": seed,
-            })
-            headers = {"Content-Type": "application/json"}
-        else:
-            # npy bulk transport: JSON encode/decode dominates the server's
-            # per-request host cost (docs/SERVING.md "Bulk transport")
-            path = (f"/v1/inpaint?start_measure={start}"
-                    f"&num_measures={num}&seed={seed}")
-            buf = io.BytesIO()
-            np.save(buf, tokens)
-            body = buf.getvalue()
-            headers = {"Content-Type": "application/x-npy"}
-        t0 = time.perf_counter()
-        for attempt in range(3):
-            try:
-                conn.request("POST", path, body=body, headers=headers)
-                resp = conn.getresponse()
-                resp.read()
-                break
-            except (ConnectionError, http.client.HTTPException, OSError):
-                conn.close()
-                conn = http.client.HTTPConnection("127.0.0.1", port,
-                                                  timeout=120)
-        else:
-            raise RuntimeError("request failed after retries")
-        lat.append(time.perf_counter() - t0)
-        assert resp.status == 200, resp.status
-        n += 1
-    conn.close()
+    with InpaintingClient("127.0.0.1", port, timeout=120,
+                          transport=TRANSPORT) as client:
+        while time.perf_counter() < stop:
+            tokens = rs.randint(0, vocab, (1, N_BARS, MSL)).astype(np.int32)
+            start = int(rs.randint(4, 11))
+            num = int(rs.randint(1, 5))
+            seed = int(rs.randint(0, 1 << 30))
+            t0 = time.perf_counter()
+            out = client.inpaint(tokens, start, num, seed=seed)
+            lat.append(time.perf_counter() - t0)
+            assert out.shape == tokens.shape
+            n += 1
     done[idx] = n
 
 

@@ -86,12 +86,22 @@ class InpaintingClient:
                 if attempt:
                     raise
 
+    @staticmethod
+    def _error_message(data: bytes) -> str:
+        """Best-effort server message — error bodies are JSON from our
+        server but can be HTML/empty from proxies or the stdlib layer."""
+        try:
+            out = json.loads(data)
+            return out.get("error", str(out)) if isinstance(out, dict) \
+                else str(out)
+        except ValueError:
+            return data[:200].decode(errors="replace")
+
     def _get_json(self, path: str) -> dict:
         resp, data = self._request("GET", path)
-        out = json.loads(data)
         if resp.status != 200:
-            raise ServerError(resp.status, out.get("error", str(out)))
-        return out
+            raise ServerError(resp.status, self._error_message(data))
+        return json.loads(data)
 
     def _post(self, path: str, tokens: np.ndarray, scalars: dict,
               out_field: str) -> np.ndarray:
@@ -105,21 +115,16 @@ class InpaintingClient:
                 headers={"Content-Type": "application/x-npy"},
             )
             if resp.status != 200:
-                try:
-                    msg = json.loads(data).get("error", "")
-                except ValueError:
-                    msg = data[:200].decode(errors="replace")
-                raise ServerError(resp.status, msg)
+                raise ServerError(resp.status, self._error_message(data))
             return np.load(io.BytesIO(data), allow_pickle=False)
         body = json.dumps({"tokens": np.asarray(tokens).tolist(), **scalars})
         resp, data = self._request(
             "POST", path, body=body,
             headers={"Content-Type": "application/json"},
         )
-        out = json.loads(data)
         if resp.status != 200:
-            raise ServerError(resp.status, out.get("error", str(out)))
-        return np.asarray(out[out_field])
+            raise ServerError(resp.status, self._error_message(data))
+        return np.asarray(json.loads(data)[out_field])
 
     # ------------------------------------------------------------------ #
     def health(self) -> dict:

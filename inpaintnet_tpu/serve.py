@@ -237,9 +237,10 @@ class InpaintingEngine:
             self._compiled[bucket] = jax.jit(self._fn())
         return bucket, self._compiled[bucket]
 
-    def _compiled_for_hetero(self, rows: int):
-        bucket = next((b for b in self.batch_buckets if b >= rows),
-                      self.batch_buckets[-1])
+    def _compiled_for_hetero(self, rows: int, bucket: Optional[int] = None):
+        if bucket is None:
+            bucket = next((b for b in self.batch_buckets if b >= rows),
+                          self.batch_buckets[-1])
         key = ("hetero", bucket)
         if key not in self._compiled:
             self._compiled[key] = jax.jit(self._fn_hetero())
@@ -278,6 +279,10 @@ class InpaintingEngine:
         assert 1 <= num_measures <= self.max_target
         assert 0 < start_measure and start_measure + num_measures < m + 1
         assert m <= self.n_bars, (m, self.n_bars)
+        vocab = self.model.vae_model.num_notes
+        assert tokens.size == 0 or (
+            tokens.min() >= 0 and tokens.max() < vocab
+        ), f"token values must lie in [0, {vocab})"
         return b, m, start_measure, m - start_measure - num_measures
 
     def _pack_request(self, tokens: np.ndarray, start_measure: int,
@@ -344,7 +349,8 @@ class InpaintingEngine:
         ]
         return out
 
-    def inpaint_hetero(self, requests: Sequence[dict]) -> list:
+    def inpaint_hetero(self, requests: Sequence[dict],
+                       bucket: Optional[int] = None) -> list:
         """One device call serving SEVERAL independent requests with
         (possibly) different inpaint spans — the dynamic-batching
         primitive behind :class:`inpaintnet_tpu.server.InpaintingServer`'s
@@ -366,6 +372,11 @@ class InpaintingEngine:
             (default: engine seed — identical seedless requests return
             identical tokens, matching their solo behavior; pass distinct
             seeds or use :meth:`inpaint_variations` for diversity)
+        :param bucket: run at this exact bucket instead of the smallest
+            one that fits — different buckets are different XLA
+            executables whose float results need not be bit-equal, so
+            pinning one extends bit-identity across ALL load levels (the
+            server's ``pin_bucket``) at the cost of padded transfers
         :return: list of (b, M, msl) outputs, one per request, each with
             only its span replaced
 
@@ -390,12 +401,14 @@ class InpaintingEngine:
             norm.append((tokens, start, num, r.get("seed"), b, m,
                          n_past, n_future))
             rows += b
-        if rows > self.batch_buckets[-1]:
+        cap = self.batch_buckets[-1] if bucket is None else bucket
+        if rows > cap:
             raise ValueError(
-                f"{rows} total rows exceed the largest bucket "
-                f"({self.batch_buckets[-1]}); split the request set"
+                f"{rows} total rows exceed the "
+                f"{'largest bucket' if bucket is None else 'pinned bucket'} "
+                f"({cap}); split the request set"
             )
-        bucket, fn = self._compiled_for_hetero(rows)
+        bucket, fn = self._compiled_for_hetero(rows, bucket)
         nb, msl = self.n_bars, self.msl
         # compact wire dtypes (cast back on device in _fn_hetero's core):
         # the big context buffers dominate per-call host->device transfer

@@ -93,7 +93,7 @@ def _query_payload(query: str) -> dict:
     return payload
 
 
-def _get_tokens(payload, msl: int):
+def _get_tokens(payload, msl: int, vocab: Optional[int] = None):
     """Validate/shape the tokens field -> ((B, M, msl) int32, was_single)."""
     if "tokens" not in payload:
         raise _BadRequest("missing field: tokens")
@@ -111,6 +111,8 @@ def _get_tokens(payload, msl: int):
         )
     if tokens.size == 0:
         raise _BadRequest("tokens is empty")
+    if vocab is not None and (tokens.min() < 0 or tokens.max() >= vocab):
+        raise _BadRequest(f"token values must lie in [0, {vocab})")
     return tokens, single
 
 
@@ -139,32 +141,40 @@ class _Batcher:
     """Dynamic request coalescing: concurrent ``/v1/inpaint`` requests are
     drained from a queue into ONE :meth:`InpaintingEngine.inpaint_hetero`
     device call (per-row masks let heterogeneous spans share a batch;
-    per-row PRNG keys keep every response bit-identical to its solo run —
-    see serve.py). The dispatcher waits up to ``max_wait_ms`` after the
-    first request of a batch for co-travellers, so a lone request pays at
-    most that much extra latency while a burst of N batch-1 requests pays
-    ~one device step total instead of N.
+    per-row PRNG keys make every response independent of which requests
+    share its batch — see serve.py). The dispatcher waits up to
+    ``max_wait_ms`` after the first request of a batch for co-travellers,
+    so a lone request pays at most that much extra latency while a burst
+    of N batch-1 requests pays ~one device step total instead of N.
     """
 
     _STOP = object()
 
     def __init__(self, engine, lock, max_wait_ms: float = 5.0,
-                 max_rows: Optional[int] = None):
+                 max_rows: Optional[int] = None,
+                 pin_bucket: Optional[int] = None):
         self.engine = engine
         self.lock = lock
         self.max_wait = max_wait_ms / 1e3
-        self.max_rows = max_rows or engine.batch_buckets[-1]
+        self.pin_bucket = pin_bucket
+        self.max_rows = (max_rows or pin_bucket
+                         or engine.batch_buckets[-1])
         self.queue: queue.Queue = queue.Queue()
         self.calls = 0      # device batches dispatched
         self.requests = 0   # requests served through those batches
         self._pending = None  # held-over item that didn't fit the last batch
+        self._stopped = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, request: dict):
         """Enqueue one request dict (tokens/start_measure/num_measures/
         seed) and block until its batch has run. Raises the engine's
-        exception if the batch failed."""
+        exception if the batch failed, RuntimeError if the batcher is
+        not running (stopped server / dead dispatcher) — never hangs on
+        a dispatcher that cannot answer."""
+        if self._stopped or not self._thread.is_alive():
+            raise RuntimeError("batcher is not running")
         slot = _Slot()
         self.queue.put((request, slot))
         slot.event.wait()
@@ -173,6 +183,7 @@ class _Batcher:
         return slot.result
 
     def stop(self):
+        self._stopped = True
         self.queue.put(self._STOP)
         self._thread.join(timeout=5)
 
@@ -181,13 +192,38 @@ class _Batcher:
         return item[0]["tokens"].shape[0]
 
     def _loop(self):
+        try:
+            while self._loop_once():
+                pass
+        finally:
+            # dispatcher exiting (stop() or a non-Exception escape):
+            # nothing may be left blocked on an answer that will never come
+            self._stopped = True
+            self._drain_fail(RuntimeError("batcher stopped"))
+
+    def _drain_fail(self, exc: BaseException):
+        items = [self._pending] if self._pending is not None else []
+        self._pending = None
         while True:
-            first = self._pending if self._pending is not None \
-                else self.queue.get()
-            self._pending = None
-            if first is self._STOP:
-                return
-            batch = [first]
+            try:
+                items.append(self.queue.get_nowait())
+            except queue.Empty:
+                break
+        for item in items:
+            if item is self._STOP:
+                continue
+            _, slot = item
+            slot.error = exc
+            slot.event.set()
+
+    def _loop_once(self) -> bool:
+        first = self._pending if self._pending is not None \
+            else self.queue.get()
+        self._pending = None
+        if first is self._STOP:
+            return False
+        batch = [first]
+        try:
             rows = self._rows(first)
             deadline = time.monotonic() + self.max_wait
             while rows < self.max_rows:
@@ -198,26 +234,27 @@ class _Batcher:
                     nxt = self.queue.get(timeout=remaining)
                 except queue.Empty:
                     break
-                if nxt is self._STOP or rows + self._rows(nxt) > self.max_rows:
+                if nxt is self._STOP or \
+                        rows + self._rows(nxt) > self.max_rows:
                     self._pending = nxt  # serve it in the next round
                     break
                 batch.append(nxt)
                 rows += self._rows(nxt)
             self.calls += 1
             self.requests += len(batch)
-            try:
-                with self.lock:
-                    outs = self.engine.inpaint_hetero(
-                        [req for req, _ in batch]
-                    )
-            except Exception as exc:  # noqa: BLE001 — fan the error out
-                for _, slot in batch:
-                    slot.error = exc
-                    slot.event.set()
-            else:
-                for (_, slot), out in zip(batch, outs):
-                    slot.result = out
-                    slot.event.set()
+            with self.lock:
+                outs = self.engine.inpaint_hetero(
+                    [req for req, _ in batch], bucket=self.pin_bucket
+                )
+        except Exception as exc:  # noqa: BLE001 — fan the error out
+            for _, slot in batch:
+                slot.error = exc
+                slot.event.set()
+        else:
+            for (_, slot), out in zip(batch, outs):
+                slot.result = out
+                slot.event.set()
+        return True
 
 
 class InpaintingServer:
@@ -228,13 +265,24 @@ class InpaintingServer:
 
     With ``batching=True`` (non-autoregressive engines only), concurrent
     ``/v1/inpaint`` / ``/v1/inpaint_ticks`` requests coalesce into one
-    device batch (see :class:`_Batcher`); responses are bit-identical to
-    the unbatched ones, so the flag is purely a throughput knob.
+    device batch (see :class:`_Batcher`). Determinism contract: a
+    response never depends on WHICH requests share its batch (per-row
+    PRNG keys, serve.py), and for non-autoregressive engines both
+    batching modes dispatch through the same ``inpaint_hetero`` RNG
+    path — so a seeded request is reproducible across server restarts
+    and batching settings AT A GIVEN BUCKET. The bucket is picked by
+    total coalesced rows; different buckets are different XLA
+    executables whose float results need not be bit-equal, so pass
+    ``pin_bucket=<bucket>`` to run every coalesced batch at one fixed
+    bucket and make seeded responses bit-identical under ANY load (at
+    the cost of padded transfers). Requests larger than the largest
+    bucket fall back to the engine's chunked batch-key path.
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
                  quiet: bool = True, batching: bool = False,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0,
+                 pin_bucket: Optional[int] = None):
         self.engine = engine
         self._lock = threading.Lock()  # engine calls are serialized
         if batching and engine.model.auto_reg:
@@ -242,8 +290,15 @@ class InpaintingServer:
                 "dynamic batching requires the non-autoregressive serving "
                 "config (see InpaintingEngine.inpaint_hetero)"
             )
+        if pin_bucket is not None and pin_bucket not in engine.batch_buckets:
+            raise ValueError(
+                f"pin_bucket={pin_bucket} is not one of the engine's "
+                f"buckets {list(engine.batch_buckets)}"
+            )
+        self._pin_bucket = pin_bucket
         self._batcher = (
-            _Batcher(engine, self._lock, max_wait_ms=max_wait_ms)
+            _Batcher(engine, self._lock, max_wait_ms=max_wait_ms,
+                     pin_bucket=pin_bucket)
             if batching else None
         )
         self._httpd = _HTTPServer((host, port), self._make_handler(quiet))
@@ -303,19 +358,30 @@ class InpaintingServer:
 
     def _run_inpaint(self, tokens, start: int, num: int, seed):
         """Dispatch one inpaint: through the batcher when enabled (and the
-        request fits a single device batch), else a locked engine call."""
+        request fits a single device batch), else a locked engine call.
+        Non-autoregressive requests that fit a bucket ALWAYS go through
+        the hetero per-row-key path, so responses don't depend on the
+        ``batching`` setting; only oversized requests (and autoregressive
+        engines) use the engine's chunked batch-key path."""
+        req = {"tokens": tokens, "start_measure": start,
+               "num_measures": num, "seed": seed}
         if (self._batcher is not None
                 and tokens.shape[0] <= self._batcher.max_rows):
-            return self._batcher.submit({
-                "tokens": tokens, "start_measure": start,
-                "num_measures": num, "seed": seed,
-            })
+            return self._batcher.submit(req)
+        cap = (self._pin_bucket if self._pin_bucket is not None
+               else self.engine.batch_buckets[-1])
         with self._lock:
+            if (not self.engine.model.auto_reg
+                    and tokens.shape[0] <= cap):
+                return self.engine.inpaint_hetero(
+                    [req], bucket=self._pin_bucket
+                )[0]
             return self.engine.inpaint(tokens, start, num, seed=seed)
 
     def _inpaint(self, payload: dict) -> dict:
         e = self.engine
-        tokens, single = _get_tokens(payload, e.msl)
+        tokens, single = _get_tokens(payload, e.msl,
+                                     e.model.vae_model.num_notes)
         m = tokens.shape[1]
         if m > e.n_bars:
             # validate BEFORE enqueue: a bad request must 400 on its own,
@@ -336,8 +402,14 @@ class InpaintingServer:
 
     def _inpaint_variations(self, payload: dict) -> dict:
         e = self.engine
-        tokens, single = _get_tokens(payload, e.msl)
+        tokens, single = _get_tokens(payload, e.msl,
+                                     e.model.vae_model.num_notes)
         m = tokens.shape[1]
+        if m > e.n_bars:
+            raise _BadRequest(
+                f"tokens have {m} measures; the engine serves at most "
+                f"{e.n_bars}"
+            )
         num = _get_int(payload, "num_measures", 1, e.max_target)
         start = _get_int(payload, "start_measure", 1, m - num)
         nvar = _get_int(payload, "num_variations", 1, 4096)
@@ -389,15 +461,13 @@ class InpaintingServer:
         seed = payload.get("seed")
         if seed is not None and not isinstance(seed, int):
             raise _BadRequest("seed must be an integer")
-        if self._batcher is not None:
-            out3 = self._run_inpaint(
-                tokens.reshape(1, -1, e.msl), start // e.msl,
-                (end - start) // e.msl, seed,
-            )
-            out = out3.reshape(1, -1)
-        else:
-            with self._lock:
-                out = e.inpaint_ticks(tokens, (start, end), seed=seed)
+        # always via _run_inpaint: the tick endpoint's RNG path must not
+        # depend on the batching flag either
+        out3 = self._run_inpaint(
+            tokens.reshape(1, -1, e.msl), start // e.msl,
+            (end - start) // e.msl, seed,
+        )
+        out = out3.reshape(1, -1)
         return {"tokens": out[0] if single else out}
 
     def _make_handler(self, quiet: bool):

@@ -47,18 +47,23 @@ from inpaintnet_tpu.server import InpaintingServer
               help='pre-compile every bucket before accepting traffic')
 @click.option('--batching/--no_batching', default=False,
               help='coalesce concurrent inpaint requests into one device '
-                   'batch (non-autoregressive engines only; responses are '
-                   'deterministic per request regardless of coalescing)')
+                   'batch (non-autoregressive engines only; a response '
+                   'never depends on which requests share its batch)')
 @click.option('--max_wait_ms', default=5.0,
               help='batching: how long the first request of a batch waits '
                    'for co-travellers')
+@click.option('--pin_bucket', default=None, type=int,
+              help='dispatch every request/batch at this fixed bucket: '
+                   'seeded responses become bit-identical under any load '
+                   '(different buckets are different XLA executables), at '
+                   'the cost of padded transfers')
 @dataset_options
 def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          encoder_hidden_size, encoder_dropout_prob, has_metadata,
          latent_space_dim, num_decoder_layers, decoder_hidden_size,
          decoder_dropout_prob, num_latent_rnn_layers, latent_rnn_hidden_size,
          latent_rnn_dropout_prob, auto_reg, host, port, serve_dtype,
-         batch_buckets, warmup, batching, max_wait_ms,
+         batch_buckets, warmup, batching, max_wait_ms, pin_bucket,
          dataset_name, corpus_dir, cache_dir):
     folk_dataset_train, _ = standard_datasets(
         dataset_name, cache_dir=cache_dir, corpus_dir=corpus_dir
@@ -96,7 +101,8 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
         print('warming up (compiling every bucket)...', flush=True)
         engine.warmup(hetero=batching)
     server = InpaintingServer(engine, host=host, port=port, quiet=False,
-                              batching=batching, max_wait_ms=max_wait_ms)
+                              batching=batching, max_wait_ms=max_wait_ms,
+                              pin_bucket=pin_bucket)
     print(f'serving on http://{host}:{server.port}', flush=True)
     try:
         server.serve_forever()

@@ -270,6 +270,63 @@ def test_warmup_covers_hetero_programs(engine):
     assert ("hetero", 8) in engine._compiled
 
 
+def test_pin_bucket_bitwise_across_modes_and_load(batch_server):
+    """With pin_bucket, a seeded request's tokens are identical whether
+    the server batches or not, and whatever co-travellers it gets — every
+    dispatch runs the same XLA executable."""
+    engine = batch_server.engine
+    toks = _toks(1, 16, 21)
+    req = {"tokens": toks, "start_measure": 5, "num_measures": 2,
+           "seed": 77}
+    expected = engine.inpaint_hetero([req], bucket=8)[0]
+    for batching in (False, True):
+        srv = InpaintingServer(engine, port=0, batching=batching,
+                               max_wait_ms=1.0, pin_bucket=8)
+        srv.start()
+        try:
+            status, out = _post(srv, "/v1/inpaint", {
+                "tokens": toks.tolist(), "start_measure": 5,
+                "num_measures": 2, "seed": 77,
+            })
+            assert status == 200
+            np.testing.assert_array_equal(np.asarray(out["tokens"]),
+                                          expected)
+        finally:
+            srv.stop()
+    with pytest.raises(ValueError, match="pin_bucket"):
+        InpaintingServer(engine, port=0, pin_bucket=3)  # not a bucket
+
+
+def test_request_validation_400s(batch_server):
+    # too many measures for the variations endpoint (pre-engine check)
+    status, out = _post(batch_server, "/v1/inpaint_variations", {
+        "tokens": _toks(1, 20, 0).tolist(), "start_measure": 2,
+        "num_measures": 1, "num_variations": 2,
+    })
+    assert status == 400 and "measures" in out["error"]
+    # out-of-vocab token values (would silently wrap in the int16 wire
+    # buffers if they reached the engine)
+    bad = _toks(1, 16, 0)
+    bad[0, 0, 0] = V + 100
+    status, out = _post(batch_server, "/v1/inpaint", {
+        "tokens": bad.tolist(), "start_measure": 2, "num_measures": 1,
+    })
+    assert status == 400 and "token values" in out["error"]
+
+
+def test_stopped_batcher_fails_fast(engine):
+    """submit() into a stopped batcher raises instead of hanging, and
+    requests pending at stop time get an error, not a forever-wait."""
+    srv = InpaintingServer(engine, port=0, batching=True, max_wait_ms=1.0)
+    srv.start()
+    srv.stop()
+    with pytest.raises(RuntimeError, match="not running"):
+        srv._batcher.submit({
+            "tokens": _toks(1, 16, 0), "start_measure": 2,
+            "num_measures": 1, "seed": 0,
+        })
+
+
 def test_server_rejects_batching_autoreg():
     engine = InpaintingEngine(_models(auto_reg=True), batch_buckets=(8,),
                               dtype="float32")

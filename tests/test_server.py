@@ -75,7 +75,11 @@ def test_inpaint_matches_engine_and_preserves_context(server):
     assert got.shape == toks.shape
     np.testing.assert_array_equal(got[:, :4], toks[:, :4])
     np.testing.assert_array_equal(got[:, 7:], toks[:, 7:])
-    direct = server.engine.inpaint(toks, 4, 3, seed=7)
+    # non-batching servers still dispatch through the hetero per-row-key
+    # path (responses must not depend on the batching flag)
+    direct = server.engine.inpaint_hetero([
+        {"tokens": toks, "start_measure": 4, "num_measures": 3, "seed": 7}
+    ])[0]
     np.testing.assert_array_equal(got, direct)
 
 
@@ -218,7 +222,11 @@ def test_npy_transport_matches_json_and_engine(server):
         server, "/v1/inpaint?start_measure=4&num_measures=3&seed=7", toks
     )
     assert status == 200
-    direct = server.engine.inpaint(toks, 4, 3, seed=7)
+    # non-batching servers still dispatch through the hetero per-row-key
+    # path (responses must not depend on the batching flag)
+    direct = server.engine.inpaint_hetero([
+        {"tokens": toks, "start_measure": 4, "num_measures": 3, "seed": 7}
+    ])[0]
     np.testing.assert_array_equal(got, direct)
     _, via_json = _call(server, "POST", "/v1/inpaint", {
         "tokens": toks.tolist(), "start_measure": 4, "num_measures": 3,

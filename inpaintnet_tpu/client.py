@@ -107,7 +107,10 @@ class InpaintingClient:
               out_field: str) -> np.ndarray:
         scalars = {k: v for k, v in scalars.items() if v is not None}
         if self.transport == "npy":
-            q = "&".join(f"{k}={int(v)}" for k, v in scalars.items())
+            q = "&".join(
+                f"{k}={float(v)}" if k == "temperature" else f"{k}={int(v)}"
+                for k, v in scalars.items()
+            )
             buf = io.BytesIO()
             np.save(buf, np.ascontiguousarray(tokens, dtype=np.int32))
             resp, data = self._request(
@@ -159,3 +162,15 @@ class InpaintingClient:
         return self._post("/v1/inpaint_ticks", tokens, {
             "start_tick": start_tick, "end_tick": end_tick, "seed": seed,
         }, "tokens")
+
+    def arnn_inpaint(self, tokens, start_measure: int, num_measures: int,
+                     seed: Optional[int] = None,
+                     temperature: Optional[float] = None) -> np.ndarray:
+        """AnticipationRNN constraint inpainting (the reference's second
+        model family; requires the server to be started with an ARNN
+        checkpoint). Argmax decode unless ``temperature`` is given."""
+        scalars = {"start_measure": start_measure,
+                   "num_measures": num_measures, "seed": seed}
+        if temperature is not None:
+            scalars["temperature"] = temperature
+        return self._post("/v1/arnn/inpaint", tokens, scalars, "tokens")

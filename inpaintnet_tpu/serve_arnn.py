@@ -1,0 +1,177 @@
+"""Batched serving engine for the AnticipationRNN model family.
+
+The reference's second inpainting family (`AnticipationRNNBaseline` /
+`ConstraintModelGaussianReg`) inpaints by constraint masking: ticks where
+``constraints_loc == 1`` are forced to the ground truth, the masked span
+decodes autoregressively (reference anticipation_rnn_gauss_reg_model.py
+``forward_inpaint`` :261-346 — which decodes batch element 0 only with a
+host sync per tick; our ``apply_inpaint`` scan decodes the whole batch
+on-device, through the fused LSTM kernel on TPU).
+
+Serving properties that differ from the LatentRNN engine (serve.py):
+
+- the inpaint decode is **argmax — fully deterministic**, so requests are
+  row-independent with no PRNG machinery at all, and per-row constraint
+  masks give heterogeneous spans in one batch for free;
+- the model consumes metadata channels (beat marker / tick position /
+  voice id). They are position-deterministic, so the engine synthesizes
+  them from the model's own dataset ``metadatas`` via
+  ``Metadata.generate(length)`` — clients send tokens only;
+- there is no padding mask: the constraint LSTM runs backwards over ALL
+  ticks, so sequences cannot be padded to a fixed bar count without
+  changing the result. Programs therefore compile per (bucket,
+  measure-count) pair; serve fixed-length windows for one compilation.
+
+    engine = ARNNServingEngine(arnn_model, dtype="bfloat16")
+    out = engine.inpaint(tokens_b_m_24, start_measure=8, num_measures=2)
+
+Reference parity: `tests/test_reference_parity.py` pins apply_inpaint's
+burn-in equivalence against the actual reference module; this engine is
+the batched front end over that path.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inpaintnet_tpu.models.base import cast_pytree
+
+__all__ = ["ARNNServingEngine"]
+
+
+class ARNNServingEngine:
+    def __init__(
+        self,
+        model,
+        batch_buckets: Sequence[int] = (1, 8, 64, 512),
+        dtype: Optional[str] = "bfloat16",
+        measure_seq_len: int = 24,
+        seed: int = 0,
+    ):
+        """:param model: a trained ``AnticipationRNNBaseline`` /
+        ``ConstraintModelGaussianReg`` (its ``dataset`` provides the
+        metadata channel definitions)
+        :param dtype: serving numeric — "float32" or "bfloat16"; the
+        fused Pallas decode kernel routes by its own gates (ops/arnn_pallas)
+        """
+        self.model = model
+        self.msl = measure_seq_len
+        self.batch_buckets = sorted(batch_buckets)
+        self.seed = seed
+        params = model.params
+        if dtype and dtype != "float32":
+            params = cast_pytree(params, jnp.dtype(dtype))
+        self._params = params
+        self._compiled: Dict[object, object] = {}
+        self._md_cache: Dict[int, np.ndarray] = {}
+
+    # ------------------------------------------------------------------ #
+    def _metadata(self, total_ticks: int) -> np.ndarray:
+        """(T, C) metadata channels synthesized by position (the same
+        ``metadatas`` + voice-id layout the dataset tensors use —
+        data/metadata.py metadata_tensor)."""
+        if total_ticks not in self._md_cache:
+            mds = self.model.dataset.metadatas
+            channels = [md.generate(total_ticks) for md in mds]
+            channels.append(np.zeros((total_ticks,), dtype=np.int64))
+            self._md_cache[total_ticks] = np.stack(channels, axis=1).astype(
+                np.int32
+            )
+        return self._md_cache[total_ticks]
+
+    def _fn(self, temperature: Optional[float]):
+        model = self.model
+
+        def core(params, score, metadata, loc, key):
+            if temperature is None:
+                logits, tokens = model.apply_inpaint(
+                    params, score, metadata, loc, train=False, rng=key
+                )
+            else:
+                logits, tokens = model.generate(
+                    params, score, metadata, loc,
+                    temperature=temperature, rng=key,
+                )
+            return tokens
+
+        return core
+
+    def _compiled_for(self, rows: int, measures: int,
+                      temperature: Optional[float]):
+        bucket = next((b for b in self.batch_buckets if b >= rows),
+                      self.batch_buckets[-1])
+        key = (bucket, measures, temperature)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(self._fn(temperature))
+        return bucket, self._compiled[key]
+
+    def warmup(self, measures: int,
+               buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the inpaint program per bucket for one sequence
+        length (``measures`` bars — programs are per-length, see module
+        docstring)."""
+        for bucket in (buckets if buckets is not None else self.batch_buckets):
+            tokens = np.zeros((bucket, measures, self.msl), np.int32)
+            self.inpaint(tokens, start_measure=1, num_measures=1)
+
+    # ------------------------------------------------------------------ #
+    def inpaint(
+        self,
+        tokens: np.ndarray,
+        start_measure,
+        num_measures,
+        seed: Optional[int] = None,
+        temperature: Optional[float] = None,
+    ) -> np.ndarray:
+        """Regenerate ``num_measures`` measures from ``start_measure``.
+
+        :param tokens: (B, M, msl) int tokens (all B rows share M; there
+            is no padding mask — see module docstring)
+        :param start_measure/num_measures: ints, or per-row sequences for
+            heterogeneous spans in one batch (the constraint mask is
+            per-row)
+        :param temperature: None = the reference ``forward_inpaint``
+            argmax decode (deterministic — ``seed`` unused); a float =
+            the reference ``generate`` multinomial sampling at that
+            temperature (the tester uses 1.5), seeded by ``seed``
+        :return: (B, M, msl) tokens with each row's span replaced
+        """
+        tokens = np.asarray(tokens)
+        b, m, msl = tokens.shape
+        assert msl == self.msl, (msl, self.msl)
+        starts = np.broadcast_to(np.asarray(start_measure, np.int64), (b,))
+        nums = np.broadcast_to(np.asarray(num_measures, np.int64), (b,))
+        assert ((1 <= nums) & (starts >= 1)
+                & (starts + nums <= m)).all(), \
+            "need >= 1 past measure, >= 0 future, 1 <= span <= m - start"
+        if b > self.batch_buckets[-1]:
+            out = [
+                self.inpaint(tokens[lo:lo + self.batch_buckets[-1]],
+                             starts[lo:lo + self.batch_buckets[-1]],
+                             nums[lo:lo + self.batch_buckets[-1]],
+                             seed=seed, temperature=temperature)
+                for lo in range(0, b, self.batch_buckets[-1])
+            ]
+            return np.concatenate(out)
+        bucket, fn = self._compiled_for(b, m, temperature)
+        total = m * msl
+        score = np.zeros((bucket, total), np.int32)
+        score[:b] = tokens.reshape(b, total)
+        md = np.broadcast_to(
+            self._metadata(total)[None], (bucket, total,
+                                          self._metadata(total).shape[1])
+        )
+        loc = np.zeros((bucket, total), np.int32)
+        tick = np.arange(total)
+        loc[:b] = ((tick[None, :] < (starts * msl)[:, None])
+                   | (tick[None, :] >= ((starts + nums) * msl)[:, None]))
+        key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        gen = np.asarray(fn(self._params, score, np.ascontiguousarray(md),
+                            loc, key))
+        out = tokens.reshape(b, total).copy()
+        span = loc[:b] == 0
+        out[span] = gen[:b][span]
+        return out.reshape(b, m, msl)

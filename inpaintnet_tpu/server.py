@@ -76,6 +76,7 @@ def _json_default(o):
 
 _INT_FIELDS = ("start_measure", "num_measures", "num_variations",
                "start_tick", "end_tick", "seed")
+_FLOAT_FIELDS = ("temperature",)
 
 
 def _query_payload(query: str) -> dict:
@@ -88,6 +89,11 @@ def _query_payload(query: str) -> dict:
                 payload[k] = int(v)
             except ValueError:
                 raise _BadRequest(f"query parameter {k}={v!r} is not an int")
+        elif k in _FLOAT_FIELDS:
+            try:
+                payload[k] = float(v)
+            except ValueError:
+                raise _BadRequest(f"query parameter {k}={v!r} is not a float")
         else:
             raise _BadRequest(f"unknown query parameter: {k}")
     return payload
@@ -282,8 +288,14 @@ class InpaintingServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
                  quiet: bool = True, batching: bool = False,
                  max_wait_ms: float = 5.0,
-                 pin_bucket: Optional[int] = None):
+                 pin_bucket: Optional[int] = None,
+                 arnn_engine=None):
+        """:param arnn_engine: optional
+        :class:`inpaintnet_tpu.serve_arnn.ARNNServingEngine` — serves the
+        reference's AnticipationRNN inpainting family at
+        ``POST /v1/arnn/inpaint`` next to the LatentRNN endpoints."""
         self.engine = engine
+        self.arnn_engine = arnn_engine
         self._lock = threading.Lock()  # engine calls are serialized
         if batching and engine.model.auto_reg:
             raise ValueError(
@@ -331,7 +343,7 @@ class InpaintingServer:
     def _meta(self) -> dict:
         e = self.engine
         vocab = e.model.vae_model.num_notes
-        return {
+        out = {
             "model": "LatentRNN",
             "n_bars": e.n_bars,
             "measure_seq_len": e.msl,
@@ -340,6 +352,12 @@ class InpaintingServer:
             "batch_buckets": list(e.batch_buckets),
             "quant": e._quant,
         }
+        if self.arnn_engine is not None:
+            out["arnn"] = {
+                "model": type(self.arnn_engine.model).__name__,
+                "batch_buckets": list(self.arnn_engine.batch_buckets),
+            }
+        return out
 
     def _health(self) -> dict:
         out = {
@@ -470,6 +488,35 @@ class InpaintingServer:
         out = out3.reshape(1, -1)
         return {"tokens": out[0] if single else out}
 
+    def _arnn_inpaint(self, payload: dict) -> dict:
+        """AnticipationRNN constraint-inpainting (the reference's second
+        model family; serve_arnn.py). Argmax decode unless a
+        ``temperature`` is given (then the reference's sampling path)."""
+        e = self.arnn_engine
+        if e is None:
+            raise _BadRequest(
+                "no AnticipationRNN model is loaded (start the server "
+                "with an arnn_engine / --serve_arnn)"
+            )
+        tokens, single = _get_tokens(payload, e.msl, e.model.num_notes)
+        m = tokens.shape[1]
+        num = _get_int(payload, "num_measures", 1, m - 1)
+        start = _get_int(payload, "start_measure", 1, m - num)
+        seed = payload.get("seed")
+        if seed is not None and not isinstance(seed, int):
+            raise _BadRequest("seed must be an integer")
+        temperature = payload.get("temperature")
+        if temperature is not None:
+            if isinstance(temperature, bool) or \
+                    not isinstance(temperature, (int, float)) or \
+                    not temperature > 0:
+                raise _BadRequest("temperature must be a positive number")
+            temperature = float(temperature)
+        with self._lock:
+            out = e.inpaint(tokens, start, num, seed=seed,
+                            temperature=temperature)
+        return {"tokens": out[0] if single else out}
+
     def _make_handler(self, quiet: bool):
         server = self
 
@@ -504,6 +551,7 @@ class InpaintingServer:
                     "/v1/inpaint": server._inpaint,
                     "/v1/inpaint_variations": server._inpaint_variations,
                     "/v1/inpaint_ticks": server._inpaint_ticks,
+                    "/v1/arnn/inpaint": server._arnn_inpaint,
                 }
                 path, _, query = self.path.partition("?")
                 route = routes.get(path)

@@ -57,6 +57,19 @@ from inpaintnet_tpu.server import InpaintingServer
                    'seeded responses become bit-identical under any load '
                    '(different buckets are different XLA executables), at '
                    'the cost of padded transfers')
+@click.option('--serve_arnn', default='none',
+              type=click.Choice(['none', 'baseline', 'reg']),
+              help='also load an AnticipationRNN checkpoint (the '
+                   "reference's second inpainting family) and serve it at "
+                   'POST /v1/arnn/inpaint')
+@click.option('--arnn_num_layers', default=2)
+@click.option('--arnn_lstm_hidden_size', default=256)
+@click.option('--arnn_linear_hidden_size', default=256)
+@click.option('--arnn_metadata_embedding_dim', default=2)
+@click.option('--arnn_dropout_lstm', default=0.2,
+              help='must match the training flag (checkpoints are '
+                   'config-addressed)')
+@click.option('--arnn_input_dropout', default=0.2)
 @dataset_options
 def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          encoder_hidden_size, encoder_dropout_prob, has_metadata,
@@ -64,6 +77,9 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          decoder_dropout_prob, num_latent_rnn_layers, latent_rnn_hidden_size,
          latent_rnn_dropout_prob, auto_reg, host, port, serve_dtype,
          batch_buckets, warmup, batching, max_wait_ms, pin_bucket,
+         serve_arnn, arnn_num_layers, arnn_lstm_hidden_size,
+         arnn_linear_hidden_size, arnn_metadata_embedding_dim,
+         arnn_dropout_lstm, arnn_input_dropout,
          dataset_name, corpus_dir, cache_dir):
     folk_dataset_train, _ = standard_datasets(
         dataset_name, cache_dir=cache_dir, corpus_dir=corpus_dir
@@ -97,12 +113,46 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
     buckets = tuple(int(b) for b in batch_buckets.split(','))
     engine = InpaintingEngine(model, batch_buckets=buckets,
                               dtype=serve_dtype)
+
+    arnn_engine = None
+    if serve_arnn != 'none':
+        from inpaintnet_tpu.models import (
+            AnticipationRNNBaseline,
+            ConstraintModelGaussianReg,
+        )
+        from inpaintnet_tpu.serve_arnn import ARNNServingEngine
+
+        cls = (AnticipationRNNBaseline if serve_arnn == 'baseline'
+               else ConstraintModelGaussianReg)
+        arnn_model = cls(
+            dataset=folk_dataset_train,
+            note_embedding_dim=note_embedding_dim,
+            metadata_embedding_dim=arnn_metadata_embedding_dim,
+            num_layers=arnn_num_layers,
+            num_lstm_constraints_units=arnn_lstm_hidden_size,
+            num_lstm_generation_units=arnn_lstm_hidden_size,
+            linear_hidden_size=arnn_linear_hidden_size,
+            dropout_prob=arnn_dropout_lstm,
+            dropout_input_prob=arnn_input_dropout,
+            unary_constraint=True,
+            teacher_forcing=True,
+        )
+        arnn_model.init(jax.random.PRNGKey(2))
+        arnn_model.load()
+        arnn_engine = ARNNServingEngine(
+            arnn_model, batch_buckets=buckets,
+            dtype=None if serve_dtype == 'float32' else 'bfloat16',
+        )
+
     if warmup:
         print('warming up (compiling every bucket)...', flush=True)
         engine.warmup(hetero=batching)
+        if arnn_engine is not None:
+            arnn_engine.warmup(measures=16)
     server = InpaintingServer(engine, host=host, port=port, quiet=False,
                               batching=batching, max_wait_ms=max_wait_ms,
-                              pin_bucket=pin_bucket)
+                              pin_bucket=pin_bucket,
+                              arnn_engine=arnn_engine)
     print(f'serving on http://{host}:{server.port}', flush=True)
     try:
         server.serve_forever()

@@ -1,0 +1,184 @@
+"""AnticipationRNN serving engine (serve_arnn.py) + its HTTP route."""
+import http.client
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from inpaintnet_tpu.data.metadata import BeatMarkerMetadata, TickMetadata
+from inpaintnet_tpu.models.anticipation_rnn import AnticipationRNNBaseline
+from inpaintnet_tpu.serve_arnn import ARNNServingEngine
+
+V = 30
+
+
+class _DS:
+    def __init__(self):
+        self.note2index_dicts = [{f"t{i}": i for i in range(V)}]
+        self.metadatas = [BeatMarkerMetadata(), TickMetadata()]
+        self.num_voices = 1
+
+    def __repr__(self):
+        return "ds"
+
+
+@pytest.fixture(scope="module")
+def engine():
+    m = AnticipationRNNBaseline(
+        _DS(), note_embedding_dim=8, metadata_embedding_dim=4,
+        num_lstm_constraints_units=16, num_lstm_generation_units=16,
+        linear_hidden_size=12, num_layers=2, unary_constraint=True,
+    )
+    m.init(jax.random.PRNGKey(0))
+    return ARNNServingEngine(m, batch_buckets=(4,), dtype="float32")
+
+
+def _toks(b, m, seed):
+    return np.random.RandomState(seed).randint(0, V, (b, m, 24)).astype(
+        np.int32
+    )
+
+
+def test_arnn_inpaint_span_only_and_deterministic(engine):
+    toks = _toks(2, 8, 0)
+    out = engine.inpaint(toks, start_measure=3, num_measures=2)
+    assert out.shape == toks.shape
+    np.testing.assert_array_equal(out[:, :3], toks[:, :3])
+    np.testing.assert_array_equal(out[:, 5:], toks[:, 5:])
+    assert out.min() >= 0 and out.max() < V
+    # argmax decode: fully deterministic, seed-independent
+    np.testing.assert_array_equal(
+        out, engine.inpaint(toks, 3, 2, seed=123)
+    )
+
+
+def test_arnn_per_row_spans(engine):
+    """constraints_loc is per-row: heterogeneous spans in one batch match
+    the homogeneous runs row for row (argmax decode is row-independent)."""
+    toks = _toks(2, 8, 1)
+    het = engine.inpaint(toks, start_measure=[2, 4], num_measures=[3, 1])
+    solo0 = engine.inpaint(toks[:1], 2, 3)
+    solo1 = engine.inpaint(toks[1:], 4, 1)
+    np.testing.assert_array_equal(het[0], solo0[0])
+    np.testing.assert_array_equal(het[1], solo1[0])
+
+
+def test_arnn_temperature_sampling(engine):
+    toks = _toks(1, 8, 2)
+    a = engine.inpaint(toks, 3, 2, seed=1, temperature=1.5)
+    b = engine.inpaint(toks, 3, 2, seed=1, temperature=1.5)
+    c = engine.inpaint(toks, 3, 2, seed=2, temperature=1.5)
+    np.testing.assert_array_equal(a, b)  # seeded => reproducible
+    assert not np.array_equal(a, c)      # different seed => different span
+    np.testing.assert_array_equal(a[:, :3], toks[:, :3])  # context forced
+
+
+def test_arnn_metadata_matches_dataset_layout(engine):
+    md = engine._metadata(48)
+    assert md.shape == (48, 3)  # beatmarker, tick, voice-id
+    mds = engine.model.dataset.metadatas
+    np.testing.assert_array_equal(md[:, 0], mds[0].generate(48))
+    np.testing.assert_array_equal(md[:, 1], mds[1].generate(48))
+    np.testing.assert_array_equal(md[:, 2], 0)
+
+
+def test_arnn_oversized_batch_chunks(engine):
+    toks = _toks(6, 4, 3)  # > bucket 4
+    out = engine.inpaint(toks, 1, 2)
+    np.testing.assert_array_equal(out[:, :1], toks[:, :1])
+    # chunking == one-shot per row (deterministic argmax)
+    np.testing.assert_array_equal(out[:4], engine.inpaint(toks[:4], 1, 2))
+
+
+def test_arnn_http_route(engine):
+    from inpaintnet_tpu.models import LatentRNN, MeasureVAE
+    from inpaintnet_tpu.serve import InpaintingEngine
+    from inpaintnet_tpu.server import InpaintingServer
+
+    vae = MeasureVAE(_DS(), note_embedding_dim=8, num_encoder_layers=1,
+                     encoder_hidden_size=16, latent_space_dim=12,
+                     num_decoder_layers=1, decoder_hidden_size=16)
+    vae.init(jax.random.PRNGKey(0))
+    lrnn = LatentRNN(_DS(), vae, num_rnn_layers=2, rnn_hidden_size=16,
+                     dropout=0.5, auto_reg=False)
+    lrnn.init(jax.random.PRNGKey(1))
+    main_engine = InpaintingEngine(lrnn, batch_buckets=(2,),
+                                   dtype="float32")
+    srv = InpaintingServer(main_engine, port=0, arnn_engine=engine)
+    srv.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                          timeout=120)
+        toks = _toks(1, 8, 5)
+        conn.request("POST", "/v1/arnn/inpaint", body=json.dumps({
+            "tokens": toks[0].tolist(), "start_measure": 3,
+            "num_measures": 2,
+        }), headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert resp.status == 200
+        got = np.asarray(out["tokens"])
+        np.testing.assert_array_equal(
+            got, engine.inpaint(toks, 3, 2)[0]
+        )
+        # meta advertises the second family
+        conn.request("GET", "/v1/meta")
+        meta = json.loads(conn.getresponse().read())
+        assert meta["arnn"]["model"] == "AnticipationRNNBaseline"
+        # bad temperature -> 400
+        conn.request("POST", "/v1/arnn/inpaint", body=json.dumps({
+            "tokens": toks[0].tolist(), "start_measure": 3,
+            "num_measures": 2, "temperature": -1,
+        }), headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.close()
+        # client library, both transports (npy keeps float temperature)
+        from inpaintnet_tpu.client import InpaintingClient
+
+        for transport in ("npy", "json"):
+            with InpaintingClient("127.0.0.1", srv.port,
+                                  transport=transport) as c:
+                np.testing.assert_array_equal(
+                    c.arnn_inpaint(toks, 3, 2), engine.inpaint(toks, 3, 2)
+                )
+                t = c.arnn_inpaint(toks, 3, 2, seed=1, temperature=1.5)
+                np.testing.assert_array_equal(
+                    t, engine.inpaint(toks, 3, 2, seed=1, temperature=1.5)
+                )
+    finally:
+        srv.stop()
+
+
+def test_arnn_route_absent_without_engine():
+    from inpaintnet_tpu.models import LatentRNN, MeasureVAE
+    from inpaintnet_tpu.serve import InpaintingEngine
+    from inpaintnet_tpu.server import InpaintingServer
+
+    vae = MeasureVAE(_DS(), note_embedding_dim=8, num_encoder_layers=1,
+                     encoder_hidden_size=16, latent_space_dim=12,
+                     num_decoder_layers=1, decoder_hidden_size=16)
+    vae.init(jax.random.PRNGKey(0))
+    lrnn = LatentRNN(_DS(), vae, num_rnn_layers=2, rnn_hidden_size=16,
+                     dropout=0.5, auto_reg=False)
+    lrnn.init(jax.random.PRNGKey(1))
+    srv = InpaintingServer(
+        InpaintingEngine(lrnn, batch_buckets=(2,), dtype="float32"),
+        port=0,
+    )
+    srv.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                          timeout=60)
+        conn.request("POST", "/v1/arnn/inpaint", body=json.dumps({
+            "tokens": np.zeros((8, 24), int).tolist(),
+            "start_measure": 3, "num_measures": 2,
+        }), headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert resp.status == 400 and "AnticipationRNN" in out["error"]
+        conn.close()
+    finally:
+        srv.stop()

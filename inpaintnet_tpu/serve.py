@@ -203,8 +203,9 @@ class InpaintingEngine:
 
         def core(params, vae_params, past, pm, future, fm, tm, row_keys):
             # requests arrive in compact wire dtypes (int16 tokens, uint8
-            # masks) — host->device bandwidth is the per-call cost at
-            # small batches (landmine #3); widen on device
+            # masks) — host<->device bandwidth is the per-call cost at
+            # small batches (landmine #3); widen on device, narrow back
+            wire_dtype = past.dtype
             past = past.astype(jnp.int32)
             future = future.astype(jnp.int32)
             pm, fm, tm = (m.astype(jnp.float32) for m in (pm, fm, tm))
@@ -215,7 +216,7 @@ class InpaintingEngine:
                     train=False, rng=jax.random.PRNGKey(0),
                     row_keys=row_keys,
                 )
-            return samples
+            return samples.astype(wire_dtype)
 
         if self.mesh is None:
             return core

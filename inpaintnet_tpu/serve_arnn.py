@@ -69,33 +69,50 @@ class ARNNServingEngine:
         self._md_cache: Dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------ #
-    def _metadata(self, total_ticks: int) -> np.ndarray:
+    def _metadata(self, total_ticks: int):
         """(T, C) metadata channels synthesized by position (the same
         ``metadatas`` + voice-id layout the dataset tensors use —
-        data/metadata.py metadata_tensor)."""
+        data/metadata.py metadata_tensor), device-resident: metadata is
+        row-invariant, so it is uploaded ONCE per sequence length and
+        broadcast on device (shipping a (B, T, C) copy per request costs
+        more than the decode through the tunnel)."""
         if total_ticks not in self._md_cache:
             mds = self.model.dataset.metadatas
             channels = [md.generate(total_ticks) for md in mds]
             channels.append(np.zeros((total_ticks,), dtype=np.int64))
-            self._md_cache[total_ticks] = np.stack(channels, axis=1).astype(
-                np.int32
+            self._md_cache[total_ticks] = jax.device_put(
+                np.stack(channels, axis=1).astype(np.int32)
             )
         return self._md_cache[total_ticks]
 
     def _fn(self, temperature: Optional[float]):
+        """The compiled core takes compact wire inputs: int16 tokens and
+        per-row (start, num) measure spans; the (B, T) constraint mask
+        and the (B, T, C) metadata broadcast are built on device."""
         model = self.model
+        msl = self.msl
 
-        def core(params, score, metadata, loc, key):
+        def core(params, score, metadata, starts, nums, key):
+            wire_dtype = score.dtype
+            score = score.astype(jnp.int32)
+            b, total = score.shape
+            md = jnp.broadcast_to(metadata[None], (b,) + metadata.shape)
+            tick = jnp.arange(total)
+            loc = ((tick[None, :] < (starts * msl)[:, None])
+                   | (tick[None, :] >= ((starts + nums) * msl)[:, None])
+                   ).astype(jnp.int32)
             if temperature is None:
                 logits, tokens = model.apply_inpaint(
-                    params, score, metadata, loc, train=False, rng=key
+                    params, score, md, loc, train=False, rng=key
                 )
             else:
                 logits, tokens = model.generate(
-                    params, score, metadata, loc,
+                    params, score, md, loc,
                     temperature=temperature, rng=key,
                 )
-            return tokens
+            # compact wire dtype on the way back too (halves the
+            # device->host transfer; vocab < 2**15 whenever int16 in)
+            return tokens.astype(wire_dtype)
 
         return core
 
@@ -158,20 +175,21 @@ class ARNNServingEngine:
             return np.concatenate(out)
         bucket, fn = self._compiled_for(b, m, temperature)
         total = m * msl
-        score = np.zeros((bucket, total), np.int32)
+        tok_dtype = np.int16 if self.model.num_notes < 2**15 else np.int32
+        score = np.zeros((bucket, total), tok_dtype)
         score[:b] = tokens.reshape(b, total)
-        md = np.broadcast_to(
-            self._metadata(total)[None], (bucket, total,
-                                          self._metadata(total).shape[1])
-        )
-        loc = np.zeros((bucket, total), np.int32)
-        tick = np.arange(total)
-        loc[:b] = ((tick[None, :] < (starts * msl)[:, None])
-                   | (tick[None, :] >= ((starts + nums) * msl)[:, None]))
+        starts_w = np.ones((bucket,), np.int32)
+        nums_w = np.ones((bucket,), np.int32)
+        starts_w[:b] = starts
+        nums_w[:b] = nums
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
-        gen = np.asarray(fn(self._params, score, np.ascontiguousarray(md),
-                            loc, key))
+        gen = np.asarray(fn(self._params, score, self._metadata(total),
+                            starts_w, nums_w, key))
+        # host-side copy of the span mask for the scatter (fetching the
+        # device-built loc would be a (bucket, T) download per call)
+        tick = np.arange(total)
+        span = ((tick[None, :] >= (starts * msl)[:, None])
+                & (tick[None, :] < ((starts + nums) * msl)[:, None]))
         out = tokens.reshape(b, total).copy()
-        span = loc[:b] == 0
         out[span] = gen[:b][span]
         return out.reshape(b, m, msl)

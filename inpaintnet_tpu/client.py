@@ -169,8 +169,7 @@ class InpaintingClient:
         """AnticipationRNN constraint inpainting (the reference's second
         model family; requires the server to be started with an ARNN
         checkpoint). Argmax decode unless ``temperature`` is given."""
-        scalars = {"start_measure": start_measure,
-                   "num_measures": num_measures, "seed": seed}
-        if temperature is not None:
-            scalars["temperature"] = temperature
-        return self._post("/v1/arnn/inpaint", tokens, scalars, "tokens")
+        return self._post("/v1/arnn/inpaint", tokens, {
+            "start_measure": start_measure, "num_measures": num_measures,
+            "seed": seed, "temperature": temperature,
+        }, "tokens")

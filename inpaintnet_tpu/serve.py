@@ -21,6 +21,19 @@ import numpy as np
 
 from inpaintnet_tpu.models.base import cast_pytree
 
+def pick_bucket(buckets: Sequence[int], rows: int) -> int:
+    """Smallest bucket that fits ``rows`` (largest one otherwise) — the
+    single copy of the bucketing rule both serving engines use."""
+    return next((b for b in buckets if b >= rows), buckets[-1])
+
+
+def token_wire_dtype(vocab: int):
+    """Compact host<->device wire dtype for token arrays (int16 halves
+    tunnel transfer whenever the vocabulary allows; single copy of the
+    rule — callers must have validated values in [0, vocab))."""
+    return np.int16 if vocab < 2**15 else np.int32
+
+
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -232,16 +245,14 @@ class InpaintingEngine:
         )
 
     def _compiled_for(self, batch: int):
-        bucket = next((b for b in self.batch_buckets if b >= batch),
-                      self.batch_buckets[-1])
+        bucket = pick_bucket(self.batch_buckets, batch)
         if bucket not in self._compiled:
             self._compiled[bucket] = jax.jit(self._fn())
         return bucket, self._compiled[bucket]
 
     def _compiled_for_hetero(self, rows: int, bucket: Optional[int] = None):
         if bucket is None:
-            bucket = next((b for b in self.batch_buckets if b >= rows),
-                          self.batch_buckets[-1])
+            bucket = pick_bucket(self.batch_buckets, rows)
         key = ("hetero", bucket)
         if key not in self._compiled:
             self._compiled[key] = jax.jit(self._fn_hetero())
@@ -413,8 +424,7 @@ class InpaintingEngine:
         nb, msl = self.n_bars, self.msl
         # compact wire dtypes (cast back on device in _fn_hetero's core):
         # the big context buffers dominate per-call host->device transfer
-        tok_dtype = (np.int16 if self.model.vae_model.num_notes < 2**15
-                     else np.int32)
+        tok_dtype = token_wire_dtype(self.model.vae_model.num_notes)
         past = np.zeros((bucket, nb, msl), tok_dtype)
         future = np.zeros((bucket, nb, msl), tok_dtype)
         pm = np.zeros((bucket, nb), np.uint8)

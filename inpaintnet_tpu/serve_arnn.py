@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from inpaintnet_tpu.models.base import cast_pytree
+from inpaintnet_tpu.serve import pick_bucket, token_wire_dtype
 
 __all__ = ["ARNNServingEngine"]
 
@@ -49,6 +50,7 @@ class ARNNServingEngine:
         batch_buckets: Sequence[int] = (1, 8, 64, 512),
         dtype: Optional[str] = "bfloat16",
         measure_seq_len: int = 24,
+        max_measures: int = 16,
         seed: int = 0,
     ):
         """:param model: a trained ``AnticipationRNNBaseline`` /
@@ -56,9 +58,14 @@ class ARNNServingEngine:
         metadata channel definitions)
         :param dtype: serving numeric — "float32" or "bfloat16"; the
         fused Pallas decode kernel routes by its own gates (ops/arnn_pallas)
+        :param max_measures: cap on request sequence length. Programs
+        compile per measure-count (no padding mask — module docstring), so
+        the cap bounds how large a scan a request can force the engine to
+        compile (and how many programs accumulate).
         """
         self.model = model
         self.msl = measure_seq_len
+        self.max_measures = max_measures
         self.batch_buckets = sorted(batch_buckets)
         self.seed = seed
         params = model.params
@@ -85,14 +92,18 @@ class ARNNServingEngine:
             )
         return self._md_cache[total_ticks]
 
-    def _fn(self, temperature: Optional[float]):
+    def _fn(self, sampled: bool):
         """The compiled core takes compact wire inputs: int16 tokens and
         per-row (start, num) measure spans; the (B, T) constraint mask
-        and the (B, T, C) metadata broadcast are built on device."""
+        and the (B, T, C) metadata broadcast are built on device. Only
+        the argmax-vs-sampled switch is structural — the temperature
+        VALUE is a traced scalar, so one sampled program serves every
+        temperature (a per-value compile would let clients force
+        unbounded recompiles)."""
         model = self.model
         msl = self.msl
 
-        def core(params, score, metadata, starts, nums, key):
+        def core(params, score, metadata, starts, nums, key, temp):
             wire_dtype = score.dtype
             score = score.astype(jnp.int32)
             b, total = score.shape
@@ -101,14 +112,13 @@ class ARNNServingEngine:
             loc = ((tick[None, :] < (starts * msl)[:, None])
                    | (tick[None, :] >= ((starts + nums) * msl)[:, None])
                    ).astype(jnp.int32)
-            if temperature is None:
+            if not sampled:
                 logits, tokens = model.apply_inpaint(
                     params, score, md, loc, train=False, rng=key
                 )
             else:
                 logits, tokens = model.generate(
-                    params, score, md, loc,
-                    temperature=temperature, rng=key,
+                    params, score, md, loc, temperature=temp, rng=key,
                 )
             # compact wire dtype on the way back too (halves the
             # device->host transfer; vocab < 2**15 whenever int16 in)
@@ -116,23 +126,26 @@ class ARNNServingEngine:
 
         return core
 
-    def _compiled_for(self, rows: int, measures: int,
-                      temperature: Optional[float]):
-        bucket = next((b for b in self.batch_buckets if b >= rows),
-                      self.batch_buckets[-1])
-        key = (bucket, measures, temperature)
+    def _compiled_for(self, rows: int, measures: int, sampled: bool):
+        bucket = pick_bucket(self.batch_buckets, rows)
+        key = (bucket, measures, sampled)
         if key not in self._compiled:
-            self._compiled[key] = jax.jit(self._fn(temperature))
+            self._compiled[key] = jax.jit(self._fn(sampled))
         return bucket, self._compiled[key]
 
     def warmup(self, measures: int,
-               buckets: Optional[Sequence[int]] = None) -> None:
-        """Pre-compile the inpaint program per bucket for one sequence
+               buckets: Optional[Sequence[int]] = None,
+               sampled: bool = True) -> None:
+        """Pre-compile the serving programs per bucket for one sequence
         length (``measures`` bars — programs are per-length, see module
-        docstring)."""
+        docstring); covers the argmax inpaint and (unless
+        ``sampled=False``) the temperature-sampling program."""
         for bucket in (buckets if buckets is not None else self.batch_buckets):
             tokens = np.zeros((bucket, measures, self.msl), np.int32)
             self.inpaint(tokens, start_measure=1, num_measures=1)
+            if sampled:
+                self.inpaint(tokens, start_measure=1, num_measures=1,
+                             seed=0, temperature=1.0)
 
     # ------------------------------------------------------------------ #
     def inpaint(
@@ -159,6 +172,14 @@ class ARNNServingEngine:
         tokens = np.asarray(tokens)
         b, m, msl = tokens.shape
         assert msl == self.msl, (msl, self.msl)
+        assert m <= self.max_measures, (
+            f"{m} measures exceed max_measures={self.max_measures} "
+            "(programs compile per sequence length)"
+        )
+        vocab = self.model.num_notes
+        assert tokens.size == 0 or (
+            tokens.min() >= 0 and tokens.max() < vocab
+        ), f"token values must lie in [0, {vocab})"
         starts = np.broadcast_to(np.asarray(start_measure, np.int64), (b,))
         nums = np.broadcast_to(np.asarray(num_measures, np.int64), (b,))
         assert ((1 <= nums) & (starts >= 1)
@@ -173,18 +194,18 @@ class ARNNServingEngine:
                 for lo in range(0, b, self.batch_buckets[-1])
             ]
             return np.concatenate(out)
-        bucket, fn = self._compiled_for(b, m, temperature)
+        bucket, fn = self._compiled_for(b, m, temperature is not None)
         total = m * msl
-        tok_dtype = np.int16 if self.model.num_notes < 2**15 else np.int32
-        score = np.zeros((bucket, total), tok_dtype)
+        score = np.zeros((bucket, total), token_wire_dtype(vocab))
         score[:b] = tokens.reshape(b, total)
         starts_w = np.ones((bucket,), np.int32)
         nums_w = np.ones((bucket,), np.int32)
         starts_w[:b] = starts
         nums_w[:b] = nums
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        temp = np.float32(1.0 if temperature is None else temperature)
         gen = np.asarray(fn(self._params, score, self._metadata(total),
-                            starts_w, nums_w, key))
+                            starts_w, nums_w, key, temp))
         # host-side copy of the span mask for the scatter (fetching the
         # device-built loc would be a (bucket, T) download per call)
         tick = np.arange(total)

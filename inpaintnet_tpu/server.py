@@ -133,6 +133,110 @@ def _get_int(payload, name, lo=None, hi=None):
     return v
 
 
+class _Metrics:
+    """Lock-guarded request counters + latency/batch-size histograms,
+    rendered in the Prometheus text exposition format at ``GET /metrics``
+    (no client-library dependency — the format is plain text)."""
+
+    LAT_BUCKETS = (5.0, 10.0, 25.0, 50.0, 100.0, 250.0, 1000.0, 5000.0)
+    BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests: dict = {}     # (route, status) -> count
+        self.lat_hist: dict = {}     # route -> [len(LAT_BUCKETS)+1 counts]
+        self.lat_sum: dict = {}      # route -> total ms
+        self.batch_hist = [0] * (len(self.BATCH_BUCKETS) + 1)
+        self.batch_sum = 0
+        self.batch_count = 0
+
+    def observe(self, route: str, status: int, ms: float):
+        with self.lock:
+            key = (route, status)
+            self.requests[key] = self.requests.get(key, 0) + 1
+            hist = self.lat_hist.setdefault(
+                route, [0] * (len(self.LAT_BUCKETS) + 1)
+            )
+            i = 0
+            while i < len(self.LAT_BUCKETS) and ms > self.LAT_BUCKETS[i]:
+                i += 1
+            hist[i] += 1
+            self.lat_sum[route] = self.lat_sum.get(route, 0.0) + ms
+
+    def observe_batch(self, size: int):
+        with self.lock:
+            i = 0
+            while (i < len(self.BATCH_BUCKETS)
+                   and size > self.BATCH_BUCKETS[i]):
+                i += 1
+            self.batch_hist[i] += 1
+            self.batch_sum += size
+            self.batch_count += 1
+
+    def render(self) -> str:
+        out = [
+            "# HELP inpaintnet_requests_total Requests by route and status.",
+            "# TYPE inpaintnet_requests_total counter",
+        ]
+        with self.lock:
+            for (route, status), n in sorted(self.requests.items()):
+                out.append(
+                    f'inpaintnet_requests_total{{route="{route}",'
+                    f'status="{status}"}} {n}'
+                )
+            out += [
+                "# HELP inpaintnet_request_latency_ms Request latency.",
+                "# TYPE inpaintnet_request_latency_ms histogram",
+            ]
+            for route, hist in sorted(self.lat_hist.items()):
+                cum = 0
+                for le, n in zip(self.LAT_BUCKETS, hist):
+                    cum += n
+                    out.append(
+                        f'inpaintnet_request_latency_ms_bucket{{route='
+                        f'"{route}",le="{le}"}} {cum}'
+                    )
+                cum += hist[-1]
+                out.append(
+                    f'inpaintnet_request_latency_ms_bucket{{route='
+                    f'"{route}",le="+Inf"}} {cum}'
+                )
+                out.append(
+                    f'inpaintnet_request_latency_ms_sum{{route="{route}"}} '
+                    f'{self.lat_sum[route]:.3f}'
+                )
+                out.append(
+                    f'inpaintnet_request_latency_ms_count{{route='
+                    f'"{route}"}} {cum}'
+                )
+            if self.batch_count:
+                out += [
+                    "# HELP inpaintnet_coalesced_batch_size Requests per "
+                    "coalesced device batch.",
+                    "# TYPE inpaintnet_coalesced_batch_size histogram",
+                ]
+                cum = 0
+                for le, n in zip(self.BATCH_BUCKETS, self.batch_hist):
+                    cum += n
+                    out.append(
+                        f'inpaintnet_coalesced_batch_size_bucket{{le='
+                        f'"{le}"}} {cum}'
+                    )
+                cum += self.batch_hist[-1]
+                out.append(
+                    f'inpaintnet_coalesced_batch_size_bucket{{le="+Inf"}} '
+                    f'{cum}'
+                )
+                out.append(
+                    f"inpaintnet_coalesced_batch_size_sum {self.batch_sum}"
+                )
+                out.append(
+                    f"inpaintnet_coalesced_batch_size_count "
+                    f"{self.batch_count}"
+                )
+        return "\n".join(out) + "\n"
+
+
 class _Slot:
     """One waiting request in the batcher's queue."""
     __slots__ = ("event", "result", "error")
@@ -158,8 +262,10 @@ class _Batcher:
 
     def __init__(self, engine, lock, max_wait_ms: float = 5.0,
                  max_rows: Optional[int] = None,
-                 pin_bucket: Optional[int] = None):
+                 pin_bucket: Optional[int] = None,
+                 metrics: Optional[_Metrics] = None):
         self.engine = engine
+        self.metrics = metrics
         self.lock = lock
         self.max_wait = max_wait_ms / 1e3
         self.pin_bucket = pin_bucket
@@ -248,6 +354,8 @@ class _Batcher:
                 rows += self._rows(nxt)
             self.calls += 1
             self.requests += len(batch)
+            if self.metrics is not None:
+                self.metrics.observe_batch(len(batch))
             with self.lock:
                 outs = self.engine.inpaint_hetero(
                     [req for req, _ in batch], bucket=self.pin_bucket
@@ -296,6 +404,7 @@ class InpaintingServer:
         ``POST /v1/arnn/inpaint`` next to the LatentRNN endpoints."""
         self.engine = engine
         self.arnn_engine = arnn_engine
+        self.metrics = _Metrics()
         self._lock = threading.Lock()  # engine calls are serialized
         if batching and engine.model.auto_reg:
             raise ValueError(
@@ -310,7 +419,7 @@ class InpaintingServer:
         self._pin_bucket = pin_bucket
         self._batcher = (
             _Batcher(engine, self._lock, max_wait_ms=max_wait_ms,
-                     pin_bucket=pin_bucket)
+                     pin_bucket=pin_bucket, metrics=self.metrics)
             if batching else None
         )
         self._httpd = _HTTPServer((host, port), self._make_handler(quiet))
@@ -356,6 +465,7 @@ class InpaintingServer:
             out["arnn"] = {
                 "model": type(self.arnn_engine.model).__name__,
                 "batch_buckets": list(self.arnn_engine.batch_buckets),
+                "max_measures": self.arnn_engine.max_measures,
             }
         return out
 
@@ -500,6 +610,14 @@ class InpaintingServer:
             )
         tokens, single = _get_tokens(payload, e.msl, e.model.num_notes)
         m = tokens.shape[1]
+        if m > e.max_measures:
+            # ARNN programs compile per sequence length (no padding mask);
+            # an uncapped client-chosen M would force arbitrarily large
+            # scan compiles under the serving lock
+            raise _BadRequest(
+                f"tokens have {m} measures; this engine serves at most "
+                f"{e.max_measures}"
+            )
         num = _get_int(payload, "num_measures", 1, m - 1)
         start = _get_int(payload, "start_measure", 1, m - num)
         seed = payload.get("seed")
@@ -537,12 +655,24 @@ class InpaintingServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                t0 = getattr(self, "_metrics_t0", None)
+                if t0 is not None:
+                    server.metrics.observe(
+                        self._metrics_route, code,
+                        (time.perf_counter() - t0) * 1e3,
+                    )
+                    self._metrics_t0 = None
 
             def do_GET(self):  # noqa: N802
                 if self.path == "/healthz":
                     self._reply(200, server._health())
                 elif self.path == "/v1/meta":
                     self._reply(200, server._meta())
+                elif self.path == "/metrics":
+                    self._reply_bytes(
+                        200, server.metrics.render().encode(),
+                        "text/plain; version=0.0.4",
+                    )
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -554,6 +684,8 @@ class InpaintingServer:
                     "/v1/arnn/inpaint": server._arnn_inpaint,
                 }
                 path, _, query = self.path.partition("?")
+                self._metrics_t0 = time.perf_counter()
+                self._metrics_route = path
                 route = routes.get(path)
                 if route is None:
                     self._reply(404, {"error": f"unknown path {path}"})

@@ -8,9 +8,16 @@ script_gen_same_context.py loading pattern) and exposes
 
     POST /v1/inpaint            POST /v1/inpaint_variations
     POST /v1/inpaint_ticks      GET /healthz        GET /v1/meta
+    POST /v1/arnn/inpaint       (with --serve_arnn baseline|reg)
+
+``--batching`` coalesces concurrent inpaint requests into one device
+batch; ``--serve_arnn`` additionally loads an AnticipationRNN checkpoint
+(the reference's second inpainting family). ``inpaintnet_tpu.client``
+is the Python client.
 
 Example:
-    python run_server.py --port 8080 --serve_dtype int8 --warmup
+    python run_server.py --port 8080 --serve_dtype int8 --warmup \
+        --batching --serve_arnn baseline
     curl -s localhost:8080/v1/meta
 """
 import click
@@ -70,6 +77,13 @@ from inpaintnet_tpu.server import InpaintingServer
               help='must match the training flag (checkpoints are '
                    'config-addressed)')
 @click.option('--arnn_input_dropout', default=0.2)
+@click.option('--arnn_note_embedding_dim', default=None, type=int,
+              help='defaults to --note_embedding_dim; set separately when '
+                   'the ARNN was trained with a different size')
+@click.option('--arnn_teacher_forcing/--arnn_no_teacher_forcing',
+              default=True,
+              help='must match the training flag (part of the checkpoint '
+                   'name)')
 @dataset_options
 def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          encoder_hidden_size, encoder_dropout_prob, has_metadata,
@@ -79,7 +93,8 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          batch_buckets, warmup, batching, max_wait_ms, pin_bucket,
          serve_arnn, arnn_num_layers, arnn_lstm_hidden_size,
          arnn_linear_hidden_size, arnn_metadata_embedding_dim,
-         arnn_dropout_lstm, arnn_input_dropout,
+         arnn_dropout_lstm, arnn_input_dropout, arnn_note_embedding_dim,
+         arnn_teacher_forcing,
          dataset_name, corpus_dir, cache_dir):
     folk_dataset_train, _ = standard_datasets(
         dataset_name, cache_dir=cache_dir, corpus_dir=corpus_dir
@@ -126,7 +141,9 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
                else ConstraintModelGaussianReg)
         arnn_model = cls(
             dataset=folk_dataset_train,
-            note_embedding_dim=note_embedding_dim,
+            note_embedding_dim=(arnn_note_embedding_dim
+                                if arnn_note_embedding_dim is not None
+                                else note_embedding_dim),
             metadata_embedding_dim=arnn_metadata_embedding_dim,
             num_layers=arnn_num_layers,
             num_lstm_constraints_units=arnn_lstm_hidden_size,
@@ -135,7 +152,7 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
             dropout_prob=arnn_dropout_lstm,
             dropout_input_prob=arnn_input_dropout,
             unary_constraint=True,
-            teacher_forcing=True,
+            teacher_forcing=arnn_teacher_forcing,
         )
         arnn_model.init(jax.random.PRNGKey(2))
         arnn_model.load()

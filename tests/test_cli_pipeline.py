@@ -142,6 +142,92 @@ def test_arnn_and_joint_eval(workdir):
 
 
 @pytest.mark.slow
+def test_run_server_subprocess(workdir):
+    """run_server.py end to end in a subprocess on the checkpoints the
+    earlier pipeline tests trained: --batching + --serve_arnn wiring
+    (config-addressed checkpoint flags, incl. the ARNN dropouts), both
+    model families over HTTP via the client library."""
+    import time
+
+    import numpy as np
+
+    from inpaintnet_tpu.client import InpaintingClient
+
+    common = ["--dataset_name", "folk_4by4nbars_short",
+              "--corpus_dir", os.environ["INPAINTNET_CORPUS_DIR"],
+              "--cache_dir", os.path.join(workdir, "cache")]
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+        INPAINTNET_FORCE_CPU="1",
+    )
+    # port 0 (ephemeral, parsed from the log) + log to a FILE: a PIPE
+    # nobody drains would deadlock the server once its request logging
+    # fills the OS pipe buffer
+    log_path = os.path.join(workdir, "run_server_test.log")
+    log_f = open(log_path, "w")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "run_server.py"),
+         *TINY, *TINY_LATENT, *common,
+         "--no_auto_reg", "--port", "0", "--serve_dtype", "float32",
+         "--batching", "--max_wait_ms", "50",
+         "--serve_arnn", "baseline",
+         "--arnn_num_layers", "1", "--arnn_lstm_hidden_size", "16",
+         "--arnn_linear_hidden_size", "12",
+         "--arnn_metadata_embedding_dim", "4"],
+        cwd=workdir, env=env, stdout=log_f, stderr=subprocess.STDOUT,
+    )
+    try:
+        import re
+
+        deadline = time.time() + 300
+        port = None
+        while port is None:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "server exited:\n" + open(log_path).read()[-3000:]
+                )
+            m = re.search(r"serving on http://[^:]+:(\d+)",
+                          open(log_path).read())
+            if m:
+                port = int(m.group(1))
+                break
+            assert time.time() < deadline, \
+                "server never came up:\n" + open(log_path).read()[-3000:]
+            time.sleep(2)
+        client = InpaintingClient("127.0.0.1", port, timeout=600)
+        while True:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "server exited:\n" + open(log_path).read()[-3000:]
+                )
+            try:
+                health = client.health()
+                break
+            except OSError:
+                assert time.time() < deadline, "server never answered"
+                time.sleep(2)
+        assert health["status"] == "ok" and "batching" in health
+        meta = client.meta()
+        assert meta["arnn"]["model"] == "AnticipationRNNBaseline"
+        vocab = meta["vocab_size"]
+        toks = np.random.RandomState(0).randint(
+            0, vocab, (1, 16, 24)
+        ).astype(np.int32)
+        out = client.inpaint(toks, 8, 2, seed=1)
+        np.testing.assert_array_equal(out[:, :8], toks[:, :8])
+        out2 = client.arnn_inpaint(toks, 8, 2)
+        np.testing.assert_array_equal(out2[:, :8], toks[:, :8])
+        client.close()
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        log_f.close()
+
+
+@pytest.mark.slow
 def test_quality_check_harness_smoke(tmp_path):
     """benchmarks/quality_check.py end-to-end at tiny dims on CPU: trains
     both models, evaluates every serving config, prints the table (kernel

@@ -72,6 +72,26 @@ def test_arnn_temperature_sampling(engine):
     np.testing.assert_array_equal(a, b)  # seeded => reproducible
     assert not np.array_equal(a, c)      # different seed => different span
     np.testing.assert_array_equal(a[:, :3], toks[:, :3])  # context forced
+    # the temperature VALUE is traced, not compiled in: every temperature
+    # shares ONE sampled program per (bucket, length) — a per-value
+    # compile would let clients force unbounded recompiles
+    n_compiled = len(engine._compiled)
+    engine.inpaint(toks, 3, 2, seed=1, temperature=0.7)
+    engine.inpaint(toks, 3, 2, seed=1, temperature=2.5)
+    assert len(engine._compiled) == n_compiled
+
+
+def test_arnn_request_caps(engine):
+    # sequence length is capped: programs compile per length, so an
+    # uncapped M would let one request force an arbitrarily large scan
+    # compile
+    with pytest.raises(AssertionError, match="max_measures"):
+        engine.inpaint(_toks(1, 17, 0), 3, 2)
+    # out-of-vocab tokens rejected before the int16 wire narrowing
+    bad = _toks(1, 8, 0)
+    bad[0, 0, 0] = V + 5
+    with pytest.raises(AssertionError, match="token values"):
+        engine.inpaint(bad, 3, 2)
 
 
 def test_arnn_metadata_matches_dataset_layout(engine):

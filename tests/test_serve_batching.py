@@ -327,6 +327,32 @@ def test_stopped_batcher_fails_fast(engine):
         })
 
 
+def test_metrics_endpoint(batch_server):
+    """Prometheus-format /metrics: request counters, latency histogram,
+    and (batching) coalesced-batch-size histogram."""
+    _post(batch_server, "/v1/inpaint", {
+        "tokens": _toks(1, 16, 33).tolist(), "start_measure": 2,
+        "num_measures": 1,
+    })
+    conn = http.client.HTTPConnection("127.0.0.1", batch_server.port,
+                                      timeout=60)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    conn.close()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type").startswith("text/plain")
+    assert 'inpaintnet_requests_total{route="/v1/inpaint",status="200"}' \
+        in body
+    assert "inpaintnet_request_latency_ms_bucket" in body
+    assert "inpaintnet_coalesced_batch_size_count" in body
+    # histograms are cumulative and end with +Inf == count
+    inf = [ln for ln in body.splitlines()
+           if ln.startswith("inpaintnet_request_latency_ms_bucket")
+           and 'le="+Inf"' in ln]
+    assert inf and all(int(ln.rsplit(" ", 1)[1]) >= 1 for ln in inf)
+
+
 def test_server_rejects_batching_autoreg():
     engine = InpaintingEngine(_models(auto_reg=True), batch_buckets=(8,),
                               dtype="float32")

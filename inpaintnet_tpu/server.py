@@ -685,8 +685,10 @@ class InpaintingServer:
                 }
                 path, _, query = self.path.partition("?")
                 self._metrics_t0 = time.perf_counter()
-                self._metrics_route = path
                 route = routes.get(path)
+                # unknown paths share one label — client-chosen strings
+                # must not grow the metrics cardinality unboundedly
+                self._metrics_route = path if route is not None else "_other"
                 if route is None:
                     self._reply(404, {"error": f"unknown path {path}"})
                     return

@@ -148,6 +148,46 @@ class ARNNServingEngine:
                              seed=0, temperature=1.0)
 
     # ------------------------------------------------------------------ #
+    def inpaint_hetero(self, requests: Sequence[dict]) -> list:
+        """Several independent ARGMAX inpaint requests in ONE device call
+        (the dynamic-batching primitive — server.py). The argmax decode
+        has no randomness and the constraint mask is per-row, so packing
+        requests is trivially bit-exact vs their solo runs; the one
+        constraint is a shared measure count (no padding mask — module
+        docstring), which the server's batcher groups by.
+
+        :param requests: dicts with ``tokens`` (b, M, msl),
+            ``start_measure``, ``num_measures`` — all sharing M;
+            ``temperature`` requests are not coalescable (batch-level
+            sampling keys) and must go through :meth:`inpaint`
+        :return: list of per-request outputs
+        """
+        if not requests:
+            return []
+        ms = {np.asarray(r["tokens"]).shape[1] for r in requests}
+        if len(ms) != 1:
+            raise ValueError(
+                f"coalesced ARNN requests must share a measure count; "
+                f"got {sorted(ms)}"
+            )
+        toks = [np.asarray(r["tokens"]) for r in requests]
+        sizes = [t.shape[0] for t in toks]
+        starts = np.concatenate([
+            np.full((n,), r["start_measure"], np.int64)
+            for n, r in zip(sizes, requests)
+        ])
+        nums = np.concatenate([
+            np.full((n,), r["num_measures"], np.int64)
+            for n, r in zip(sizes, requests)
+        ])
+        out = self.inpaint(np.concatenate(toks), starts, nums)
+        outs = []
+        lo = 0
+        for n in sizes:
+            outs.append(out[lo:lo + n])
+            lo += n
+        return outs
+
     def inpaint(
         self,
         tokens: np.ndarray,

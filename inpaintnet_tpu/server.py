@@ -263,7 +263,14 @@ class _Batcher:
     def __init__(self, engine, lock, max_wait_ms: float = 5.0,
                  max_rows: Optional[int] = None,
                  pin_bucket: Optional[int] = None,
-                 metrics: Optional[_Metrics] = None):
+                 metrics: Optional[_Metrics] = None,
+                 group_key=None, dispatch=None):
+        """:param group_key: optional ``request -> hashable`` — only
+        requests with EQUAL keys share a batch (the ARNN engine's
+        per-measure-count programs); mismatching arrivals are held over
+        for their own batch. None = everything coalesces.
+        :param dispatch: the coalesced engine call, default
+        ``engine.inpaint_hetero(requests, bucket=pin_bucket)``."""
         self.engine = engine
         self.metrics = metrics
         self.lock = lock
@@ -271,10 +278,14 @@ class _Batcher:
         self.pin_bucket = pin_bucket
         self.max_rows = (max_rows or pin_bucket
                          or engine.batch_buckets[-1])
+        self.group_key = group_key or (lambda req: None)
+        self.dispatch = dispatch or (
+            lambda reqs: engine.inpaint_hetero(reqs, bucket=pin_bucket)
+        )
         self.queue: queue.Queue = queue.Queue()
         self.calls = 0      # device batches dispatched
         self.requests = 0   # requests served through those batches
-        self._pending = None  # held-over item that didn't fit the last batch
+        self._pending: list = []  # held-over items (didn't fit / other group)
         self._stopped = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -314,8 +325,8 @@ class _Batcher:
             self._drain_fail(RuntimeError("batcher stopped"))
 
     def _drain_fail(self, exc: BaseException):
-        items = [self._pending] if self._pending is not None else []
-        self._pending = None
+        items = list(self._pending)
+        self._pending = []
         while True:
             try:
                 items.append(self.queue.get_nowait())
@@ -329,14 +340,24 @@ class _Batcher:
             slot.event.set()
 
     def _loop_once(self) -> bool:
-        first = self._pending if self._pending is not None \
-            else self.queue.get()
-        self._pending = None
+        first = self._pending.pop(0) if self._pending else self.queue.get()
         if first is self._STOP:
             return False
         batch = [first]
         try:
             rows = self._rows(first)
+            key0 = self.group_key(first[0])
+            # matching held-over items join first
+            still_pending = []
+            for item in self._pending:
+                if (item is not self._STOP
+                        and self.group_key(item[0]) == key0
+                        and rows + self._rows(item) <= self.max_rows):
+                    batch.append(item)
+                    rows += self._rows(item)
+                else:
+                    still_pending.append(item)
+            self._pending = still_pending
             deadline = time.monotonic() + self.max_wait
             while rows < self.max_rows:
                 remaining = deadline - time.monotonic()
@@ -346,10 +367,13 @@ class _Batcher:
                     nxt = self.queue.get(timeout=remaining)
                 except queue.Empty:
                     break
-                if nxt is self._STOP or \
-                        rows + self._rows(nxt) > self.max_rows:
-                    self._pending = nxt  # serve it in the next round
-                    break
+                if (nxt is self._STOP
+                        or self.group_key(nxt[0]) != key0
+                        or rows + self._rows(nxt) > self.max_rows):
+                    self._pending.append(nxt)  # its own round later
+                    if nxt is self._STOP:
+                        break
+                    continue
                 batch.append(nxt)
                 rows += self._rows(nxt)
             self.calls += 1
@@ -357,9 +381,7 @@ class _Batcher:
             if self.metrics is not None:
                 self.metrics.observe_batch(len(batch))
             with self.lock:
-                outs = self.engine.inpaint_hetero(
-                    [req for req, _ in batch], bucket=self.pin_bucket
-                )
+                outs = self.dispatch([req for req, _ in batch])
         except Exception as exc:  # noqa: BLE001 — fan the error out
             for _, slot in batch:
                 slot.error = exc
@@ -422,6 +444,15 @@ class InpaintingServer:
                      pin_bucket=pin_bucket, metrics=self.metrics)
             if batching else None
         )
+        # ARNN requests coalesce too (argmax decode — no RNG, trivially
+        # bit-exact), grouped by measure count (programs are per-length)
+        self._arnn_batcher = (
+            _Batcher(arnn_engine, self._lock, max_wait_ms=max_wait_ms,
+                     metrics=self.metrics,
+                     group_key=lambda req: req["tokens"].shape[1],
+                     dispatch=arnn_engine.inpaint_hetero)
+            if batching and arnn_engine is not None else None
+        )
         self._httpd = _HTTPServer((host, port), self._make_handler(quiet))
         self._thread: Optional[threading.Thread] = None
 
@@ -446,6 +477,8 @@ class InpaintingServer:
             self._thread.join(timeout=5)
         if self._batcher is not None:
             self._batcher.stop()
+        if self._arnn_batcher is not None:
+            self._arnn_batcher.stop()
 
     # ------------------------------------------------------------------ #
 
@@ -481,6 +514,11 @@ class InpaintingServer:
                 "requests": self._batcher.requests,
                 "max_wait_ms": self._batcher.max_wait * 1e3,
                 "max_rows": self._batcher.max_rows,
+            }
+        if self._arnn_batcher is not None:
+            out["arnn_batching"] = {
+                "calls": self._arnn_batcher.calls,
+                "requests": self._arnn_batcher.requests,
             }
         return out
 
@@ -630,9 +668,18 @@ class InpaintingServer:
                     not temperature > 0:
                 raise _BadRequest("temperature must be a positive number")
             temperature = float(temperature)
-        with self._lock:
-            out = e.inpaint(tokens, start, num, seed=seed,
-                            temperature=temperature)
+        if (temperature is None and self._arnn_batcher is not None
+                and tokens.shape[0] <= self._arnn_batcher.max_rows):
+            # argmax requests coalesce (no RNG — bit-exact); sampled ones
+            # draw from a batch-level key and go solo
+            out = self._arnn_batcher.submit({
+                "tokens": tokens, "start_measure": start,
+                "num_measures": num,
+            })
+        else:
+            with self._lock:
+                out = e.inpaint(tokens, start, num, seed=seed,
+                                temperature=temperature)
         return {"tokens": out[0] if single else out}
 
     def _make_handler(self, quiet: bool):

@@ -111,6 +111,105 @@ def test_arnn_oversized_batch_chunks(engine):
     np.testing.assert_array_equal(out[:4], engine.inpaint(toks[:4], 1, 2))
 
 
+def test_arnn_inpaint_hetero(engine):
+    """Coalesced argmax requests (the ARNN batcher's primitive): bit-
+    exact vs solo (no RNG anywhere in the argmax decode), same-length
+    only, per-request spans."""
+    reqs = [
+        {"tokens": _toks(2, 8, 20), "start_measure": 3, "num_measures": 2},
+        {"tokens": _toks(1, 8, 21), "start_measure": 5, "num_measures": 1},
+    ]
+    outs = engine.inpaint_hetero(reqs)
+    for req, out in zip(reqs, outs):
+        solo = engine.inpaint(req["tokens"], req["start_measure"],
+                              req["num_measures"])
+        np.testing.assert_array_equal(out, solo)
+    with pytest.raises(ValueError, match="measure count"):
+        engine.inpaint_hetero([
+            reqs[0],
+            {"tokens": _toks(1, 6, 22), "start_measure": 2,
+             "num_measures": 1},
+        ])
+    assert engine.inpaint_hetero([]) == []
+
+
+def test_arnn_server_coalesces(engine):
+    """Concurrent same-length argmax ARNN requests share one device
+    batch; different-length and sampled requests get their own."""
+    import threading
+
+    from inpaintnet_tpu.models import LatentRNN, MeasureVAE
+    from inpaintnet_tpu.serve import InpaintingEngine
+    from inpaintnet_tpu.server import InpaintingServer
+
+    vae = MeasureVAE(_DS(), note_embedding_dim=8, num_encoder_layers=1,
+                     encoder_hidden_size=16, latent_space_dim=12,
+                     num_decoder_layers=1, decoder_hidden_size=16)
+    vae.init(jax.random.PRNGKey(0))
+    lrnn = LatentRNN(_DS(), vae, num_rnn_layers=2, rnn_hidden_size=16,
+                     dropout=0.5, auto_reg=False)
+    lrnn.init(jax.random.PRNGKey(1))
+    main_engine = InpaintingEngine(lrnn, batch_buckets=(4,),
+                                   dtype="float32")
+    srv = InpaintingServer(main_engine, port=0, batching=True,
+                           max_wait_ms=1000, arnn_engine=engine)
+    srv.start()
+    try:
+        # warm so the timed coalescing window isn't compile-bound
+        engine.inpaint_hetero([{"tokens": _toks(1, 8, 0),
+                                "start_measure": 2, "num_measures": 1}])
+        reqs = [
+            {"tokens": _toks(1, 8, 30), "start_measure": 3,
+             "num_measures": 2},
+            {"tokens": _toks(2, 8, 31), "start_measure": 5,
+             "num_measures": 1},
+        ]
+        calls0 = srv._arnn_batcher.calls
+        results = [None] * len(reqs)
+
+        def post(i):
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=120)
+            conn.request("POST", "/v1/arnn/inpaint", body=json.dumps({
+                "tokens": reqs[i]["tokens"].tolist(),
+                "start_measure": reqs[i]["start_measure"],
+                "num_measures": reqs[i]["num_measures"],
+            }), headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            out = json.loads(resp.read())
+            conn.close()
+            assert resp.status == 200, out
+            results[i] = np.asarray(out["tokens"])
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert srv._arnn_batcher.calls == calls0 + 1
+        for req, got in zip(reqs, results):
+            if got.ndim == 2:
+                got = got[None]
+            solo = engine.inpaint(req["tokens"], req["start_measure"],
+                                  req["num_measures"])
+            np.testing.assert_array_equal(got, solo)
+        # sampled request bypasses the batcher (batch-level key)
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                          timeout=120)
+        conn.request("POST", "/v1/arnn/inpaint", body=json.dumps({
+            "tokens": _toks(1, 8, 32)[0].tolist(), "start_measure": 3,
+            "num_measures": 2, "temperature": 1.5, "seed": 4,
+        }), headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+        conn.close()
+        assert srv._arnn_batcher.calls == calls0 + 1  # unchanged
+    finally:
+        srv.stop()
+
+
 def test_arnn_http_route(engine):
     from inpaintnet_tpu.models import LatentRNN, MeasureVAE
     from inpaintnet_tpu.serve import InpaintingEngine

@@ -353,6 +353,46 @@ def test_metrics_endpoint(batch_server):
     assert inf and all(int(ln.rsplit(" ", 1)[1]) >= 1 for ln in inf)
 
 
+def test_batching_server_over_mesh(engine, devices8):
+    """Batching composes with data-parallel serving: a server wrapping a
+    mesh-sharded engine coalesces requests AND returns the exact
+    single-device tokens (per-row keys shard with their rows)."""
+    from inpaintnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(num_devices=8)
+    eng_mesh = InpaintingEngine(engine.model, batch_buckets=(8,),
+                                dtype="float32", mesh=mesh)
+    srv = InpaintingServer(eng_mesh, port=0, batching=True,
+                           max_wait_ms=1000)
+    srv.start()
+    try:
+        reqs = _reqs()
+        results = [None] * len(reqs)
+
+        def post(i):
+            status, out = _post(srv, "/v1/inpaint", {
+                "tokens": reqs[i]["tokens"].tolist(),
+                "start_measure": reqs[i]["start_measure"],
+                "num_measures": reqs[i]["num_measures"],
+                **({"seed": reqs[i]["seed"]} if "seed" in reqs[i] else {}),
+            })
+            assert status == 200
+            results[i] = np.asarray(out["tokens"])
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert srv._batcher.calls == 1
+        for req, got in zip(reqs, results):
+            solo_single_device = engine.inpaint_hetero([req])[0]
+            np.testing.assert_array_equal(got, solo_single_device)
+    finally:
+        srv.stop()
+
+
 def test_server_rejects_batching_autoreg():
     engine = InpaintingEngine(_models(auto_reg=True), batch_buckets=(8,),
                               dtype="float32")

@@ -122,6 +122,29 @@ def _get_tokens(payload, msl: int, vocab: Optional[int] = None):
     return tokens, single
 
 
+def _get_flat_tokens(payload, msl: int, vocab: Optional[int] = None):
+    """The tick-endpoint variant of :func:`_get_tokens`: ONE flat tick
+    sequence -> ((1, L) int32, was_single). Same parse/error mapping."""
+    if "tokens" not in payload:
+        raise _BadRequest("missing field: tokens")
+    try:
+        tokens = np.asarray(payload["tokens"], dtype=np.int32)
+    except (TypeError, ValueError):
+        raise _BadRequest("tokens must be a (rectangular) int array")
+    single = tokens.ndim == 1
+    if single:
+        tokens = tokens[None]
+    if tokens.ndim != 2 or tokens.shape[0] != 1 \
+            or tokens.shape[1] == 0 or tokens.shape[1] % msl:
+        raise _BadRequest(
+            "tokens must be one flat tick sequence with length a "
+            f"multiple of {msl}; got shape {tokens.shape}"
+        )
+    if vocab is not None and (tokens.min() < 0 or tokens.max() >= vocab):
+        raise _BadRequest(f"token values must lie in [0, {vocab})")
+    return tokens, single
+
+
 def _get_int(payload, name, lo=None, hi=None):
     if name not in payload:
         raise _BadRequest(f"missing field: {name}")
@@ -506,7 +529,10 @@ class InpaintingServer:
         out = {
             "status": "ok",
             "buckets": list(self.engine.batch_buckets),
-            "warmed": sorted(self.engine._compiled, key=str),
+            # snapshot via list() (atomic under the GIL) — POST threads
+            # insert compile-cache entries concurrently, and iterating
+            # the live dict could raise mid-/healthz
+            "warmed": sorted(list(self.engine._compiled), key=str),
         }
         if self._batcher is not None:
             out["batching"] = {
@@ -591,21 +617,8 @@ class InpaintingServer:
         """Reference tick-range contract (latent_rnn_tester.py:131-195):
         ONE flat tick sequence + a measure-aligned [start, end) range."""
         e = self.engine
-        if "tokens" not in payload:
-            raise _BadRequest("missing field: tokens")
-        try:
-            tokens = np.asarray(payload["tokens"], dtype=np.int32)
-        except (TypeError, ValueError):
-            raise _BadRequest("tokens must be a (rectangular) int array")
-        single = tokens.ndim == 1
-        if single:
-            tokens = tokens[None]
-        if tokens.ndim != 2 or tokens.shape[0] != 1 \
-                or tokens.shape[1] == 0 or tokens.shape[1] % e.msl:
-            raise _BadRequest(
-                "tokens must be one flat tick sequence with length a "
-                f"multiple of {e.msl}; got shape {tokens.shape}"
-            )
+        tokens, single = _get_flat_tokens(payload, e.msl,
+                                          e.model.vae_model.num_notes)
         total = tokens.shape[1]
         if total // e.msl > e.n_bars:
             raise _BadRequest(

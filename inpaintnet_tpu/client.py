@@ -163,6 +163,27 @@ class InpaintingClient:
             "start_tick": start_tick, "end_tick": end_tick, "seed": seed,
         }, "tokens")
 
+    def interpolate(self, measure_a, measure_b,
+                    num_points: int) -> np.ndarray:
+        """Latent interpolation between two (msl,) measures -> tokens of
+        shape (num_points + 2, msl), endpoints included. Deterministic."""
+        pair = np.stack([np.asarray(measure_a), np.asarray(measure_b)])
+        if self.transport == "npy":
+            return self._post("/v1/interpolate", pair,
+                              {"num_points": num_points}, "tokens")
+        body = json.dumps({
+            "measure_a": np.asarray(measure_a).tolist(),
+            "measure_b": np.asarray(measure_b).tolist(),
+            "num_points": num_points,
+        })
+        resp, data = self._request(
+            "POST", "/v1/interpolate", body=body,
+            headers={"Content-Type": "application/json"},
+        )
+        if resp.status != 200:
+            raise ServerError(resp.status, self._error_message(data))
+        return np.asarray(json.loads(data)["tokens"])
+
     def arnn_inpaint(self, tokens, start_measure: int, num_measures: int,
                      seed: Optional[int] = None,
                      temperature: Optional[float] = None) -> np.ndarray:

@@ -556,6 +556,59 @@ class InpaintingEngine:
             outs.append(out)
         return np.stack(outs)
 
+    # max interpolation points per request: rows pad to ONE compiled
+    # (64, z) decode program (decode is row-independent, so padding is
+    # exact) instead of a program per point count
+    MAX_INTERP = 62
+
+    def interpolate(self, measure_a: np.ndarray, measure_b: np.ndarray,
+                    num_points: int) -> np.ndarray:
+        """Latent interpolation between two measures (the reference
+        VAETester capability, vae_tester.py:72-93, served): encode both
+        measures to their posterior MEANS, decode ``num_points`` evenly
+        spaced interpolants plus both endpoints with the frozen VAE
+        (argmax — fully deterministic).
+
+        :param measure_a/measure_b: (msl,) int tokens
+        :return: (num_points + 2, msl) tokens, a -> b
+        """
+        assert 1 <= num_points <= self.MAX_INTERP, num_points
+        a = np.asarray(measure_a).reshape(1, self.msl)
+        b = np.asarray(measure_b).reshape(1, self.msl)
+        n = num_points + 2
+        if "interp" not in self._compiled:
+            from inpaintnet_tpu.ops.quantize import serving_quant
+
+            model = self.model
+            quant = self._quant
+
+            def interp(vp, pair, alphas):
+                with serving_quant(quant):
+                    dist = model.vae_model.encoder.apply(
+                        vp["encoder"], pair.astype(jnp.int32),
+                        train=False, rng=jax.random.PRNGKey(0),
+                    )
+                    z1, z2 = dist.loc[0], dist.loc[1]
+                    zs = (z1[None, :] * (1 - alphas[:, None])
+                          + z2[None, :] * alphas[:, None])
+                    _, samples = model.vae_model.decoder.decode_sampling(
+                        vp["decoder"], zs, train=False,
+                        rng=jax.random.PRNGKey(0),
+                    )
+                return samples.astype(pair.dtype)
+
+            self._compiled["interp"] = jax.jit(interp)
+        wire = token_wire_dtype(self.model.vae_model.num_notes)
+        pair = np.concatenate([a, b]).astype(wire)
+        # pad alphas to the fixed row count; pad rows decode garbage
+        # interpolants that are sliced away (row-independent decode)
+        alphas = np.zeros((self.MAX_INTERP + 2,), np.float32)
+        alphas[:n] = np.arange(n, dtype=np.float32) / (n - 1)
+        out = np.asarray(
+            self._compiled["interp"](self._vae_params, pair, alphas)
+        )
+        return out[:n].astype(np.int32)
+
     def inpaint_ticks(
         self, tensor_score: np.ndarray, time_index_range_ticks: Tuple[int, int],
         seed: Optional[int] = None,

@@ -75,7 +75,7 @@ def _json_default(o):
 
 
 _INT_FIELDS = ("start_measure", "num_measures", "num_variations",
-               "start_tick", "end_tick", "seed")
+               "start_tick", "end_tick", "seed", "num_points")
 _FLOAT_FIELDS = ("temperature",)
 
 
@@ -649,6 +649,42 @@ class InpaintingServer:
         out = out3.reshape(1, -1)
         return {"tokens": out[0] if single else out}
 
+    def _interpolate(self, payload: dict) -> dict:
+        """Latent interpolation between two measures (the reference
+        VAETester capability, vae_tester.py:72-93) — deterministic."""
+        e = self.engine
+        vocab = e.model.vae_model.num_notes
+        if "tokens" in payload and "measure_a" not in payload:
+            # npy transport ships ONE array: (2, msl) = [measure_a,
+            # measure_b]
+            t = np.asarray(payload["tokens"])
+            if t.shape != (2, e.msl):
+                raise _BadRequest(
+                    f"tokens must be (2, {e.msl}) — the two measures to "
+                    f"interpolate between; got shape {t.shape}"
+                )
+            payload = {**payload, "measure_a": t[0], "measure_b": t[1]}
+        pair = []
+        for name in ("measure_a", "measure_b"):
+            if name not in payload:
+                raise _BadRequest(f"missing field: {name}")
+            try:
+                m = np.asarray(payload[name], dtype=np.int32)
+            except (TypeError, ValueError):
+                raise _BadRequest(f"{name} must be an int array")
+            if m.shape != (e.msl,):
+                raise _BadRequest(
+                    f"{name} must be one measure of {e.msl} ticks; got "
+                    f"shape {m.shape}"
+                )
+            if m.min() < 0 or m.max() >= vocab:
+                raise _BadRequest(f"token values must lie in [0, {vocab})")
+            pair.append(m)
+        n = _get_int(payload, "num_points", 1, e.MAX_INTERP)
+        with self._lock:
+            out = e.interpolate(pair[0], pair[1], n)
+        return {"tokens": out}
+
     def _arnn_inpaint(self, payload: dict) -> dict:
         """AnticipationRNN constraint-inpainting (the reference's second
         model family; serve_arnn.py). Argmax decode unless a
@@ -742,6 +778,7 @@ class InpaintingServer:
                     "/v1/inpaint_variations": server._inpaint_variations,
                     "/v1/inpaint_ticks": server._inpaint_ticks,
                     "/v1/arnn/inpaint": server._arnn_inpaint,
+                    "/v1/interpolate": server._interpolate,
                 }
                 path, _, query = self.path.partition("?")
                 self._metrics_t0 = time.perf_counter()

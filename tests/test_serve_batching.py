@@ -12,6 +12,7 @@ import json
 import threading
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -391,6 +392,55 @@ def test_batching_server_over_mesh(engine, devices8):
             np.testing.assert_array_equal(got, solo_single_device)
     finally:
         srv.stop()
+
+
+def test_interpolate_matches_vae_tester(engine):
+    """The served interpolation equals VAETester.decode_mid_point (the
+    reference capability, vae_tester.py:72-93) on the same weights, for
+    any num_points through ONE padded compilation."""
+    from inpaintnet_tpu.eval.vae_tester import VAETester
+
+    vae = engine.model.vae_model
+    tester = VAETester(_DS(), vae)
+    rs = np.random.RandomState(3)
+    a = rs.randint(0, V, (24,)).astype(np.int32)
+    b = rs.randint(0, V, (24,)).astype(np.int32)
+    for n in (1, 3):
+        got = engine.interpolate(a, b, n)
+        assert got.shape == (n + 2, 24)
+        z1 = tester._encode_fn(vae.params, jnp.asarray(a[None])).loc[0]
+        z2 = tester._encode_fn(vae.params, jnp.asarray(b[None])).loc[0]
+        ref = np.asarray(tester.decode_mid_point(z1, z2, n)).reshape(
+            n + 2, 24
+        )
+        np.testing.assert_array_equal(got, ref)
+    # every num_points shares one compiled program (rows pad to a fixed
+    # count; decode is row-independent so padding is exact)
+    n_compiled = len(engine._compiled)
+    engine.interpolate(a, b, 5)
+    assert len(engine._compiled) == n_compiled
+
+
+def test_interpolate_http_and_client(batch_server):
+    from inpaintnet_tpu.client import InpaintingClient, ServerError
+
+    rs = np.random.RandomState(4)
+    a = rs.randint(0, V, (24,)).astype(np.int32)
+    b = rs.randint(0, V, (24,)).astype(np.int32)
+    direct = batch_server.engine.interpolate(a, b, 2)
+    for transport in ("npy", "json"):
+        with InpaintingClient("127.0.0.1", batch_server.port,
+                              transport=transport) as c:
+            np.testing.assert_array_equal(c.interpolate(a, b, 2), direct)
+    status, out = _post(batch_server, "/v1/interpolate", {
+        "measure_a": a.tolist(), "measure_b": b[:10].tolist(),
+        "num_points": 2,
+    })
+    assert status == 400 and "measure_b" in out["error"]
+    with InpaintingClient("127.0.0.1", batch_server.port) as c:
+        with pytest.raises(ServerError) as ei:
+            c.interpolate(a, b, 0)  # num_points must be >= 1
+        assert ei.value.status == 400
 
 
 def test_server_rejects_batching_autoreg():

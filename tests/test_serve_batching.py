@@ -421,6 +421,22 @@ def test_interpolate_matches_vae_tester(engine):
     assert len(engine._compiled) == n_compiled
 
 
+def test_interpolate_under_mesh(engine, devices8):
+    """interpolate runs on a mesh engine (replicated params, plain jit)
+    and equals the single-device result (deterministic argmax path)."""
+    from inpaintnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(num_devices=8)
+    eng_mesh = InpaintingEngine(engine.model, batch_buckets=(8,),
+                                dtype="float32", mesh=mesh)
+    rs = np.random.RandomState(5)
+    a = rs.randint(0, V, (24,)).astype(np.int32)
+    b = rs.randint(0, V, (24,)).astype(np.int32)
+    np.testing.assert_array_equal(
+        eng_mesh.interpolate(a, b, 2), engine.interpolate(a, b, 2)
+    )
+
+
 def test_interpolate_http_and_client(batch_server):
     from inpaintnet_tpu.client import InpaintingClient, ServerError
 

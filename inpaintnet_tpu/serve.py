@@ -188,15 +188,22 @@ class InpaintingEngine:
         quant = self._quant
 
         def core(params, vae_params, past, pm, future, fm, tm, key):
+            # compact wire dtypes in/out (same scheme as _fn_hetero:
+            # int16 tokens, uint8 masks — measured ~20% off the full-
+            # bucket call through the tunnel); widen on device.
             # the serving_quant scope is active while jit TRACES this
             # body, which is when the model's kernel gates read the mode
+            wire_dtype = past.dtype
+            past = past.astype(jnp.int32)
+            future = future.astype(jnp.int32)
+            pm, fm, tm = (m.astype(jnp.float32) for m in (pm, fm, tm))
             with serving_quant(quant):
                 _, samples, _ = model.apply(
                     params, vae_params, past, future, None,
                     past_mask=pm, future_mask=fm, target_mask=tm,
                     train=False, rng=key,
                 )
-            return samples
+            return samples.astype(wire_dtype)
 
         if self.mesh is None:
             return core
@@ -307,15 +314,16 @@ class InpaintingEngine:
         )
         assert b <= bucket, f"batch {b} exceeds bucket {bucket}"
         msl = self.msl
+        tok_dtype = token_wire_dtype(self.model.vae_model.num_notes)
         nb = self.n_bars
-        past = np.zeros((bucket, nb, msl), np.int32)
-        future = np.zeros((bucket, nb, msl), np.int32)
+        past = np.zeros((bucket, nb, msl), tok_dtype)
+        future = np.zeros((bucket, nb, msl), tok_dtype)
         past[:b, :n_past] = tokens[:, :n_past]
         if n_future:
             future[:b, :n_future] = tokens[:, m - n_future:]
-        pm = np.zeros((bucket, nb), np.float32)
-        fm = np.zeros((bucket, nb), np.float32)
-        tm = np.zeros((bucket, self.max_target), np.float32)
+        pm = np.zeros((bucket, nb), np.uint8)
+        fm = np.zeros((bucket, nb), np.uint8)
+        tm = np.zeros((bucket, self.max_target), np.uint8)
         pm[:, :n_past] = 1
         fm[:, :n_future] = 1  # all-zero mask => zero context (no future)
         tm[:, :num_measures] = 1
@@ -504,10 +512,14 @@ class InpaintingEngine:
             quant = self._quant
 
             def enc_dists(vp, p_ctx, f_ctx):
+                # wire dtypes from _pack_request — widen on device
+                p_ctx = p_ctx.astype(jnp.int32)
+                f_ctx = f_ctx.astype(jnp.int32)
                 with serving_quant(quant):
                     return model.encode_context_dists(vp, p_ctx, f_ctx)
 
             def gen_dists(p, vp, pd, fd, pm, fm, tm, key):
+                pm, fm, tm = (m.astype(jnp.float32) for m in (pm, fm, tm))
                 with serving_quant(quant):
                     return model.generate_from_context_dists(
                         p, vp, pd, fd, past_mask=pm, future_mask=fm,

@@ -1,0 +1,138 @@
+"""Mixed-workload soak of the HTTP serving stack on the TPU: concurrent
+clients exercising every endpoint (LatentRNN inpaint + ticks +
+variations + interpolation + ARNN argmax/sampled) against one batching
+server, with per-response validation. The point is robustness under
+sustained concurrency (batcher grouping/holdover, lock discipline,
+metrics, keep-alive churn), not throughput numbers.
+
+Usage: python benchmarks/soak_server.py [clients] [seconds]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import threading
+import time
+
+import numpy as np
+
+CLIENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+SECONDS = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
+VOCAB = 60
+
+
+def _client(port: int, stop: float, idx: int, counts, errors):
+    from inpaintnet_tpu.client import InpaintingClient
+
+    rs = np.random.RandomState(5000 + idx)
+    with InpaintingClient("127.0.0.1", port, timeout=300) as c:
+        while time.perf_counter() < stop:
+            kind = idx % 6
+            try:
+                if kind == 0:  # batch-1 inpaint (coalesces)
+                    t = rs.randint(0, VOCAB, (1, 16, 24))
+                    out = c.inpaint(t, int(rs.randint(4, 11)), 2,
+                                    seed=int(rs.randint(1 << 30)))
+                    assert out.shape == t.shape
+                elif kind == 1:  # tick API
+                    t = rs.randint(0, VOCAB, (16 * 24,))
+                    out = c.inpaint_ticks(t, 24 * 6, 24 * 8)
+                    assert out.shape == t.shape
+                    assert (out[: 24 * 6] == t[: 24 * 6]).all()
+                elif kind == 2:  # variations
+                    t = rs.randint(0, VOCAB, (1, 16, 24))
+                    out = c.inpaint_variations(t, 6, 2, num_variations=3)
+                    assert out.shape == (3,) + t.shape
+                elif kind == 3:  # interpolation
+                    a = rs.randint(0, VOCAB, (24,))
+                    b = rs.randint(0, VOCAB, (24,))
+                    out = c.interpolate(a, b, 3)
+                    assert out.shape == (5, 24)
+                elif kind == 4:  # ARNN argmax (coalesces, grouped)
+                    t = rs.randint(0, VOCAB, (1, 16, 24))
+                    out = c.arnn_inpaint(t, 8, 2)
+                    assert (np.asarray(out)[:, :8] == t[:, :8]).all()
+                else:  # ARNN sampled (solo path)
+                    t = rs.randint(0, VOCAB, (1, 16, 24))
+                    out = c.arnn_inpaint(t, 8, 2, seed=int(rs.randint(99)),
+                                         temperature=1.5)
+                    assert np.asarray(out).shape == t.shape
+                counts[idx] += 1
+            except Exception as exc:  # noqa: BLE001 — count, keep going
+                errors.append(f"client {idx} ({kind}): {exc!r}")
+                time.sleep(0.2)
+
+
+def main():
+    import jax
+
+    if os.environ.get("INPAINTNET_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    import __graft_entry__ as g
+    from inpaintnet_tpu.data.metadata import BeatMarkerMetadata, TickMetadata
+    from inpaintnet_tpu.models.anticipation_rnn import AnticipationRNNBaseline
+    from inpaintnet_tpu.serve import InpaintingEngine
+    from inpaintnet_tpu.serve_arnn import ARNNServingEngine
+    from inpaintnet_tpu.server import InpaintingServer
+
+    small = os.environ.get("INPAINTNET_BENCH_SMALL") == "1"
+    _, _, model = g._build_models(**(
+        dict(hidden=16, z_dim=12, vocab=VOCAB, emb=8) if small else
+        dict(vocab=VOCAB)
+    ))
+
+    class DS:
+        note2index_dicts = [{f"t{i}": i for i in range(VOCAB)}]
+        metadatas = [BeatMarkerMetadata(), TickMetadata()]
+        num_voices = 1
+
+        def __repr__(self):
+            return "ds"
+
+    h = 16 if small else 256
+    arnn = AnticipationRNNBaseline(
+        DS(), note_embedding_dim=10, metadata_embedding_dim=2,
+        num_lstm_constraints_units=h, num_lstm_generation_units=h,
+        linear_hidden_size=h, num_layers=2, unary_constraint=True,
+    )
+    arnn.init(jax.random.PRNGKey(1))
+
+    dtype = "float32" if jax.devices()[0].platform == "cpu" else "int8"
+    a_dtype = "float32" if dtype == "float32" else "bfloat16"
+    engine = InpaintingEngine(model, batch_buckets=(1, 64),
+                              dtype=dtype)
+    arnn_engine = ARNNServingEngine(arnn, batch_buckets=(1, 64),
+                                    dtype=a_dtype)
+    srv = InpaintingServer(engine, port=0, batching=True, max_wait_ms=8,
+                           arnn_engine=arnn_engine)
+    port = srv.start()
+    print(f"soaking {CLIENTS} clients x {SECONDS}s on :{port} "
+          f"(dtype {dtype})", flush=True)
+
+    counts = [0] * CLIENTS
+    errors: list = []
+    stop = time.perf_counter() + SECONDS
+    threads = [threading.Thread(target=_client,
+                                args=(port, stop, i, counts, errors))
+               for i in range(CLIENTS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    total = sum(counts)
+    h = srv._health()
+    srv.stop()
+    print(f"requests ok: {total}; errors: {len(errors)}")
+    for e in errors[:5]:
+        print("  ", e)
+    print("batching:", h.get("batching"), "| arnn:", h.get("arnn_batching"))
+    if errors:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

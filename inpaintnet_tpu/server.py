@@ -24,6 +24,13 @@ Endpoints (JSON in/out):
   24) (or (variations, measures, 24) for a single example).
 - ``POST /v1/inpaint_ticks`` — the reference tester's tick-range API:
   ``{"tokens": ..., "start_tick": t0, "end_tick": t1, "seed": optional}``.
+- ``POST /v1/arnn/inpaint`` — the AnticipationRNN family (when the
+  server holds an ``arnn_engine``): argmax constraint inpainting, or the
+  reference's temperature sampling with ``"temperature"``.
+- ``POST /v1/interpolate`` — latent interpolation between two measures
+  (``measure_a``/``measure_b`` + ``num_points``; deterministic).
+- ``GET  /metrics`` — Prometheus text format (request/status counters,
+  latency histograms, coalesced-batch-size histogram).
 
 Bulk transport: POSTs also accept ``Content-Type: application/x-npy``
 with the raw ``.npy`` bytes of the tokens array as the body and the
@@ -516,6 +523,7 @@ class InpaintingServer:
             "vocab_size": vocab,
             "batch_buckets": list(e.batch_buckets),
             "quant": e._quant,
+            "max_interp_points": e.MAX_INTERP,
         }
         if self.arnn_engine is not None:
             out["arnn"] = {

@@ -30,28 +30,13 @@ def main():
     if os.environ.get("INPAINTNET_FORCE_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
 
-    from inpaintnet_tpu.data.metadata import BeatMarkerMetadata, TickMetadata
-    from inpaintnet_tpu.models.anticipation_rnn import AnticipationRNNBaseline
+    from benchmarks.common_arnn import build_arnn
     from inpaintnet_tpu.serve import token_wire_dtype
     from inpaintnet_tpu.serve_arnn import ARNNServingEngine
     from inpaintnet_tpu.utils.timing import device_timeit
 
-    class DS:
-        note2index_dicts = [{f"t{i}": i for i in range(60)}]
-        metadatas = [BeatMarkerMetadata(), TickMetadata()]
-        num_voices = 1
-
-        def __repr__(self):
-            return "ds"
-
     small = os.environ.get("INPAINTNET_BENCH_SMALL") == "1"
-    hidden = 16 if small else 256
-    m = AnticipationRNNBaseline(
-        DS(), note_embedding_dim=10, metadata_embedding_dim=2,
-        num_lstm_constraints_units=hidden, num_lstm_generation_units=hidden,
-        linear_hidden_size=hidden, num_layers=2, unary_constraint=True,
-    )
-    m.init(jax.random.PRNGKey(0))
+    m = build_arnn(small=small, seed=0)
     dtype = ("float32" if jax.devices()[0].platform == "cpu"
              else "bfloat16")
     eng = ARNNServingEngine(m, batch_buckets=(BATCH,), dtype=dtype)

@@ -73,8 +73,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import __graft_entry__ as g
-    from inpaintnet_tpu.data.metadata import BeatMarkerMetadata, TickMetadata
-    from inpaintnet_tpu.models.anticipation_rnn import AnticipationRNNBaseline
+    from benchmarks.common_arnn import build_arnn
     from inpaintnet_tpu.serve import InpaintingEngine
     from inpaintnet_tpu.serve_arnn import ARNNServingEngine
     from inpaintnet_tpu.server import InpaintingServer
@@ -84,22 +83,7 @@ def main():
         dict(hidden=16, z_dim=12, vocab=VOCAB, emb=8) if small else
         dict(vocab=VOCAB)
     ))
-
-    class DS:
-        note2index_dicts = [{f"t{i}": i for i in range(VOCAB)}]
-        metadatas = [BeatMarkerMetadata(), TickMetadata()]
-        num_voices = 1
-
-        def __repr__(self):
-            return "ds"
-
-    h = 16 if small else 256
-    arnn = AnticipationRNNBaseline(
-        DS(), note_embedding_dim=10, metadata_embedding_dim=2,
-        num_lstm_constraints_units=h, num_lstm_generation_units=h,
-        linear_hidden_size=h, num_layers=2, unary_constraint=True,
-    )
-    arnn.init(jax.random.PRNGKey(1))
+    arnn = build_arnn(small=small)
 
     dtype = "float32" if jax.devices()[0].platform == "cpu" else "int8"
     a_dtype = "float32" if dtype == "float32" else "bfloat16"

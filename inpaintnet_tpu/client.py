@@ -120,9 +120,18 @@ class InpaintingClient:
             if resp.status != 200:
                 raise ServerError(resp.status, self._error_message(data))
             return np.load(io.BytesIO(data), allow_pickle=False)
-        body = json.dumps({"tokens": np.asarray(tokens).tolist(), **scalars})
+        return self._post_json(
+            path, {"tokens": np.asarray(tokens).tolist(), **scalars},
+            out_field,
+        )
+
+    def _post_json(self, path: str, payload: dict,
+                   out_field: str) -> np.ndarray:
+        """One JSON POST -> array; single copy of the status/error/parse
+        sequence (used by the json transport and the field-structured
+        interpolate payload)."""
         resp, data = self._request(
-            "POST", path, body=body,
+            "POST", path, body=json.dumps(payload),
             headers={"Content-Type": "application/json"},
         )
         if resp.status != 200:
@@ -171,18 +180,11 @@ class InpaintingClient:
         if self.transport == "npy":
             return self._post("/v1/interpolate", pair,
                               {"num_points": num_points}, "tokens")
-        body = json.dumps({
+        return self._post_json("/v1/interpolate", {
             "measure_a": np.asarray(measure_a).tolist(),
             "measure_b": np.asarray(measure_b).tolist(),
             "num_points": num_points,
-        })
-        resp, data = self._request(
-            "POST", "/v1/interpolate", body=body,
-            headers={"Content-Type": "application/json"},
-        )
-        if resp.status != 200:
-            raise ServerError(resp.status, self._error_message(data))
-        return np.asarray(json.loads(data)["tokens"])
+        }, "tokens")
 
     def arnn_inpaint(self, tokens, start_measure: int, num_measures: int,
                      seed: Optional[int] = None,

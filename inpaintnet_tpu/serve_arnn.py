@@ -126,8 +126,10 @@ class ARNNServingEngine:
 
         return core
 
-    def _compiled_for(self, rows: int, measures: int, sampled: bool):
-        bucket = pick_bucket(self.batch_buckets, rows)
+    def _compiled_for(self, rows: int, measures: int, sampled: bool,
+                      bucket: Optional[int] = None):
+        if bucket is None:
+            bucket = pick_bucket(self.batch_buckets, rows)
         key = (bucket, measures, sampled)
         if key not in self._compiled:
             self._compiled[key] = jax.jit(self._fn(sampled))
@@ -148,11 +150,14 @@ class ARNNServingEngine:
                              seed=0, temperature=1.0)
 
     # ------------------------------------------------------------------ #
-    def inpaint_hetero(self, requests: Sequence[dict]) -> list:
+    def inpaint_hetero(self, requests: Sequence[dict],
+                       bucket: Optional[int] = None) -> list:
         """Several independent ARGMAX inpaint requests in ONE device call
         (the dynamic-batching primitive — server.py). The argmax decode
         has no randomness and the constraint mask is per-row, so packing
-        requests is trivially bit-exact vs their solo runs; the one
+        requests is bit-exact vs their solo runs AT A GIVEN BUCKET (pin
+        one via ``bucket`` for bit-identity across load levels —
+        different buckets are different XLA executables); the one
         constraint is a shared measure count (no padding mask — module
         docstring), which the server's batcher groups by.
 
@@ -180,7 +185,8 @@ class ARNNServingEngine:
             np.full((n,), r["num_measures"], np.int64)
             for n, r in zip(sizes, requests)
         ])
-        out = self.inpaint(np.concatenate(toks), starts, nums)
+        out = self.inpaint(np.concatenate(toks), starts, nums,
+                           bucket=bucket)
         outs = []
         lo = 0
         for n in sizes:
@@ -195,8 +201,14 @@ class ARNNServingEngine:
         num_measures,
         seed: Optional[int] = None,
         temperature: Optional[float] = None,
+        bucket: Optional[int] = None,
     ) -> np.ndarray:
         """Regenerate ``num_measures`` measures from ``start_measure``.
+
+        ``bucket`` pins the dispatch bucket (see
+        serve.InpaintingEngine.inpaint_hetero — different buckets are
+        different XLA executables, so bit-identity across load levels
+        needs a pinned one; the server's ``pin_bucket`` passes through).
 
         :param tokens: (B, M, msl) int tokens (all B rows share M; there
             is no padding mask — see module docstring)
@@ -230,11 +242,13 @@ class ARNNServingEngine:
                 self.inpaint(tokens[lo:lo + self.batch_buckets[-1]],
                              starts[lo:lo + self.batch_buckets[-1]],
                              nums[lo:lo + self.batch_buckets[-1]],
-                             seed=seed, temperature=temperature)
+                             seed=seed, temperature=temperature,
+                             bucket=bucket)
                 for lo in range(0, b, self.batch_buckets[-1])
             ]
             return np.concatenate(out)
-        bucket, fn = self._compiled_for(b, m, temperature is not None)
+        bucket, fn = self._compiled_for(b, m, temperature is not None,
+                                        bucket)
         total = m * msl
         score = np.zeros((bucket, total), token_wire_dtype(vocab))
         score[:b] = tokens.reshape(b, total)

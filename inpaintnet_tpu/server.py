@@ -106,14 +106,29 @@ def _query_payload(query: str) -> dict:
     return payload
 
 
+def _parse_int_array(value, name: str = "tokens") -> np.ndarray:
+    """Parse a request array as int32 WITHOUT silent wraparound: np.asarray
+    with dtype=int32 wraps out-of-range int64 npy values (2**33+5 -> 5,
+    which would then pass the vocab check) and raises OverflowError — not
+    ValueError — for oversized JSON ints. Parse at natural precision,
+    reject non-integer dtypes, range-check, then narrow."""
+    try:
+        arr = np.asarray(value)
+    except (TypeError, ValueError):
+        raise _BadRequest(f"{name} must be a (rectangular) int array")
+    if arr.dtype == object or not np.issubdtype(arr.dtype, np.integer):
+        raise _BadRequest(f"{name} must be a (rectangular) int array")
+    if arr.size and (int(arr.min()) < np.iinfo(np.int32).min
+                     or int(arr.max()) > np.iinfo(np.int32).max):
+        raise _BadRequest(f"{name} values exceed the int32 range")
+    return arr.astype(np.int32)
+
+
 def _get_tokens(payload, msl: int, vocab: Optional[int] = None):
     """Validate/shape the tokens field -> ((B, M, msl) int32, was_single)."""
     if "tokens" not in payload:
         raise _BadRequest("missing field: tokens")
-    try:
-        tokens = np.asarray(payload["tokens"], dtype=np.int32)
-    except (TypeError, ValueError):
-        raise _BadRequest("tokens must be a (rectangular) int array")
+    tokens = _parse_int_array(payload["tokens"])
     single = tokens.ndim == 2
     if single:
         tokens = tokens[None]
@@ -134,10 +149,7 @@ def _get_flat_tokens(payload, msl: int, vocab: Optional[int] = None):
     sequence -> ((1, L) int32, was_single). Same parse/error mapping."""
     if "tokens" not in payload:
         raise _BadRequest("missing field: tokens")
-    try:
-        tokens = np.asarray(payload["tokens"], dtype=np.int32)
-    except (TypeError, ValueError):
-        raise _BadRequest("tokens must be a (rectangular) int array")
+    tokens = _parse_int_array(payload["tokens"])
     single = tokens.ndim == 1
     if single:
         tokens = tokens[None]
@@ -388,7 +400,11 @@ class _Batcher:
                 else:
                     still_pending.append(item)
             self._pending = still_pending
-            deadline = time.monotonic() + self.max_wait
+            # once STOP is held over, dispatch immediately — waiting the
+            # full max_wait per remaining holdover group would let stop()
+            # outlive its join timeout
+            stopping = any(it is self._STOP for it in self._pending)
+            deadline = time.monotonic() + (0 if stopping else self.max_wait)
             while rows < self.max_rows:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -468,19 +484,28 @@ class InpaintingServer:
                 f"pin_bucket={pin_bucket} is not one of the engine's "
                 f"buckets {list(engine.batch_buckets)}"
             )
+        if (pin_bucket is not None and arnn_engine is not None
+                and pin_bucket not in arnn_engine.batch_buckets):
+            raise ValueError(
+                f"pin_bucket={pin_bucket} is not one of the ARNN "
+                f"engine's buckets {list(arnn_engine.batch_buckets)}"
+            )
         self._pin_bucket = pin_bucket
         self._batcher = (
             _Batcher(engine, self._lock, max_wait_ms=max_wait_ms,
                      pin_bucket=pin_bucket, metrics=self.metrics)
             if batching else None
         )
-        # ARNN requests coalesce too (argmax decode — no RNG, trivially
-        # bit-exact), grouped by measure count (programs are per-length)
+        # ARNN requests coalesce too (argmax decode — no RNG; bit-exact
+        # vs solo at a given bucket, and pin_bucket passes through for
+        # bit-identity under any load), grouped by measure count
+        # (programs are per-length)
         self._arnn_batcher = (
             _Batcher(arnn_engine, self._lock, max_wait_ms=max_wait_ms,
-                     metrics=self.metrics,
+                     metrics=self.metrics, pin_bucket=pin_bucket,
                      group_key=lambda req: req["tokens"].shape[1],
-                     dispatch=arnn_engine.inpaint_hetero)
+                     dispatch=lambda reqs: arnn_engine.inpaint_hetero(
+                         reqs, bucket=pin_bucket))
             if batching and arnn_engine is not None else None
         )
         self._httpd = _HTTPServer((host, port), self._make_handler(quiet))
@@ -676,10 +701,7 @@ class InpaintingServer:
         for name in ("measure_a", "measure_b"):
             if name not in payload:
                 raise _BadRequest(f"missing field: {name}")
-            try:
-                m = np.asarray(payload[name], dtype=np.int32)
-            except (TypeError, ValueError):
-                raise _BadRequest(f"{name} must be an int array")
+            m = _parse_int_array(payload[name], name)
             if m.shape != (e.msl,):
                 raise _BadRequest(
                     f"{name} must be one measure of {e.msl} ticks; got "
@@ -727,8 +749,9 @@ class InpaintingServer:
             temperature = float(temperature)
         if (temperature is None and self._arnn_batcher is not None
                 and tokens.shape[0] <= self._arnn_batcher.max_rows):
-            # argmax requests coalesce (no RNG — bit-exact); sampled ones
-            # draw from a batch-level key and go solo
+            # argmax requests coalesce (no RNG — bit-exact at a given
+            # bucket); sampled ones draw from a batch-level key and go
+            # solo
             out = self._arnn_batcher.submit({
                 "tokens": tokens, "start_measure": start,
                 "num_measures": num,

@@ -210,6 +210,29 @@ def test_arnn_server_coalesces(engine):
         srv.stop()
 
 
+def test_arnn_pin_bucket(engine):
+    """A pinned bucket runs solo and coalesced requests through the SAME
+    executable (bit-identity across load — the multi-bucket caveat the
+    LatentRNN engine documents applies here too)."""
+    reqs = [
+        {"tokens": _toks(1, 8, 40), "start_measure": 3, "num_measures": 2},
+        {"tokens": _toks(2, 8, 41), "start_measure": 5, "num_measures": 1},
+    ]
+    solo = engine.inpaint_hetero([reqs[0]], bucket=4)[0]
+    coal = engine.inpaint_hetero(reqs, bucket=4)[0]
+    np.testing.assert_array_equal(solo, coal)
+    # oversized batches chunk at the bucket ladder, each chunk still at
+    # the pinned bucket (argmax rows are independent, so chunked rows
+    # equal their solo runs)
+    big = _toks(5, 8, 42)
+    out = engine.inpaint_hetero([
+        {"tokens": big, "start_measure": 3, "num_measures": 2}
+    ], bucket=4)[0]
+    np.testing.assert_array_equal(
+        out[:1], engine.inpaint(big[:1], 3, 2, bucket=4)
+    )
+
+
 def test_arnn_http_route(engine):
     from inpaintnet_tpu.models import LatentRNN, MeasureVAE
     from inpaintnet_tpu.serve import InpaintingEngine

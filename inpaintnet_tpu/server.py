@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import io
 import json
+import math
 import queue
 import threading
 import time
@@ -329,6 +330,11 @@ class _Batcher:
         self.requests = 0   # requests served through those batches
         self._pending: list = []  # held-over items (didn't fit / other group)
         self._stopped = False
+        # closes the submit-vs-shutdown race: submit's stopped-check and
+        # enqueue are atomic against _drain_fail's stopped-set and drain,
+        # so an item is either drained (and failed) or rejected up front —
+        # never enqueued into a dead batcher to wait forever
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -338,10 +344,11 @@ class _Batcher:
         exception if the batch failed, RuntimeError if the batcher is
         not running (stopped server / dead dispatcher) — never hangs on
         a dispatcher that cannot answer."""
-        if self._stopped or not self._thread.is_alive():
-            raise RuntimeError("batcher is not running")
         slot = _Slot()
-        self.queue.put((request, slot))
+        with self._submit_lock:
+            if self._stopped or not self._thread.is_alive():
+                raise RuntimeError("batcher is not running")
+            self.queue.put((request, slot))
         slot.event.wait()
         if slot.error is not None:
             raise slot.error
@@ -363,17 +370,19 @@ class _Batcher:
         finally:
             # dispatcher exiting (stop() or a non-Exception escape):
             # nothing may be left blocked on an answer that will never come
-            self._stopped = True
+            # (_drain_fail sets _stopped under the submit lock)
             self._drain_fail(RuntimeError("batcher stopped"))
 
     def _drain_fail(self, exc: BaseException):
-        items = list(self._pending)
-        self._pending = []
-        while True:
-            try:
-                items.append(self.queue.get_nowait())
-            except queue.Empty:
-                break
+        with self._submit_lock:
+            self._stopped = True
+            items = list(self._pending)
+            self._pending = []
+            while True:
+                try:
+                    items.append(self.queue.get_nowait())
+                except queue.Empty:
+                    break
         for item in items:
             if item is self._STOP:
                 continue
@@ -457,8 +466,10 @@ class InpaintingServer:
     executables whose float results need not be bit-equal, so pass
     ``pin_bucket=<bucket>`` to run every coalesced batch at one fixed
     bucket and make seeded responses bit-identical under ANY load (at
-    the cost of padded transfers). Requests larger than the largest
-    bucket fall back to the engine's chunked batch-key path.
+    the cost of padded transfers). Requests that don't fit one hetero
+    batch — larger than ``pin_bucket`` when set, else larger than the
+    largest bucket — fall back to the engine's chunked batch-key path,
+    whose seeded outputs differ from the hetero path's.
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
@@ -689,8 +700,9 @@ class InpaintingServer:
         vocab = e.model.vae_model.num_notes
         if "tokens" in payload and "measure_a" not in payload:
             # npy transport ships ONE array: (2, msl) = [measure_a,
-            # measure_b]
-            t = np.asarray(payload["tokens"])
+            # measure_b]; _parse_int_array so a ragged/non-int list is a
+            # 400 like every other endpoint, not a 500
+            t = _parse_int_array(payload["tokens"])
             if t.shape != (2, e.msl):
                 raise _BadRequest(
                     f"tokens must be (2, {e.msl}) — the two measures to "
@@ -744,8 +756,10 @@ class InpaintingServer:
         if temperature is not None:
             if isinstance(temperature, bool) or \
                     not isinstance(temperature, (int, float)) or \
-                    not temperature > 0:
-                raise _BadRequest("temperature must be a positive number")
+                    not temperature > 0 or not math.isfinite(temperature):
+                raise _BadRequest(
+                    "temperature must be a positive finite number"
+                )
             temperature = float(temperature)
         if (temperature is None and self._arnn_batcher is not None
                 and tokens.shape[0] <= self._arnn_batcher.max_rows):
@@ -791,6 +805,13 @@ class InpaintingServer:
                     self._metrics_t0 = None
 
             def do_GET(self):  # noqa: N802
+                # GETs are metered too (the docstring advertises
+                # request/status counters for every route)
+                self._metrics_t0 = time.perf_counter()
+                self._metrics_route = (
+                    self.path if self.path in ("/healthz", "/v1/meta",
+                                               "/metrics") else "_other"
+                )
                 if self.path == "/healthz":
                     self._reply(200, server._health())
                 elif self.path == "/v1/meta":

@@ -276,6 +276,16 @@ def test_arnn_http_route(engine):
         resp = conn.getresponse()
         assert resp.status == 400
         resp.read()
+        # temperature=inf parses as a float and is > 0 but would produce
+        # NaN logits — must 400, not sample garbage (JSON 1e999 -> inf)
+        conn.request("POST", "/v1/arnn/inpaint", body=json.dumps({
+            "tokens": toks[0].tolist(), "start_measure": 3,
+            "num_measures": 2,
+        })[:-1] + ', "temperature": 1e999}',
+            headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert resp.status == 400 and "finite" in out["error"]
         conn.close()
         # client library, both transports (npy keeps float temperature)
         from inpaintnet_tpu.client import InpaintingClient

@@ -352,6 +352,25 @@ def test_metrics_endpoint(batch_server):
            if ln.startswith("inpaintnet_request_latency_ms_bucket")
            and 'le="+Inf"' in ln]
     assert inf and all(int(ln.rsplit(" ", 1)[1]) >= 1 for ln in inf)
+    # GETs are metered too (the /metrics scrape above + this healthz)
+    conn = http.client.HTTPConnection("127.0.0.1", batch_server.port,
+                                      timeout=60)
+    conn.request("GET", "/healthz")
+    conn.getresponse().read()
+    conn.request("GET", "/metrics")
+    body = conn.getresponse().read().decode()
+    conn.close()
+    assert 'inpaintnet_requests_total{route="/healthz",status="200"}' in body
+    assert 'inpaintnet_requests_total{route="/metrics",status="200"}' in body
+
+
+def test_interpolate_ragged_tokens_is_400(batch_server):
+    """The interpolate 'tokens' shorthand must map a ragged list to a 400
+    like every other endpoint, not a 500 (advisor round-3 finding)."""
+    status, out = _post(batch_server, "/v1/interpolate", {
+        "tokens": [[1, 2], [3]], "num_points": 2,
+    })
+    assert status == 400 and "rectangular" in out["error"]
 
 
 def test_batching_server_over_mesh(engine, devices8):

@@ -34,6 +34,9 @@ CORPUS = os.environ.get("FULLRUN_CORPUS", "/tmp/scale_test/corpus")
 NUM_VAE_EPOCHS = int(os.environ.get("FULLRUN_VAE_EPOCHS", "30"))
 NUM_LATENT_EPOCHS = int(os.environ.get("FULLRUN_LATENT_EPOCHS", "2"))
 NUM_ARNN_EPOCHS = int(os.environ.get("FULLRUN_ARNN_EPOCHS", "1"))
+# "uniform" or "structured" (phrase-form corpus; data/synthetic.py) —
+# point FULLRUN_DIR/FULLRUN_CORPUS at a style-specific location.
+STYLE = os.environ.get("FULLRUN_STYLE", "uniform")
 
 DATASET_FLAGS = [
     "--dataset_name", "folk_4by4nbars_train",
@@ -59,8 +62,9 @@ def ensure_corpus():
         return
     from inpaintnet_tpu.data.synthetic import generate_corpus
 
-    print(f"generating 13,684-tune corpus at {CORPUS}")
-    generate_corpus(CORPUS, num_tunes=13684, num_bars=16, seed=11)
+    print(f"generating 13,684-tune corpus at {CORPUS} (style={STYLE})")
+    generate_corpus(CORPUS, num_tunes=13684, num_bars=16, seed=11,
+                    style=STYLE)
 
 
 def _datasets():

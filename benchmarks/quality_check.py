@@ -52,6 +52,11 @@ VAE_BATCH = int(os.environ.get("QC_VAE_BATCH", "256"))
 RNN_BATCH = int(os.environ.get("QC_RNN_BATCH", "32"))
 ARNN_EPOCHS = int(os.environ.get("QC_ARNN_EPOCHS", "3"))
 ARNN_HIDDEN = int(os.environ.get("QC_ARNN_HIDDEN", "256"))
+# "uniform" (i.i.d. notes, saturates ~83%) or "structured" (phrase-form
+# corpus with learnable long-range signal — the discriminative setting;
+# see data/synthetic.py). Use a separate workdir per style: the corpus
+# and checkpoints are cached.
+STYLE = os.environ.get("QC_STYLE", "uniform")
 
 
 def build_dataset():
@@ -62,7 +67,8 @@ def build_dataset():
     cache = os.path.join(WORKDIR, "cache")
     if not os.path.isdir(corpus):
         os.makedirs(corpus, exist_ok=True)
-        generate_corpus(corpus, num_tunes=NUM_TUNES, num_bars=16, seed=7)
+        generate_corpus(corpus, num_tunes=NUM_TUNES, num_bars=16, seed=7,
+                        style=STYLE)
     mgr = DatasetManager(cache_dir=cache, corpus_dir=corpus)
     metadatas = [BeatMarkerMetadata(6), TickMetadata(6)]
     ds = mgr.get_dataset(

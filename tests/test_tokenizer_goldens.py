@@ -56,6 +56,50 @@ def test_python_pipeline_matches_goldens(goldens):
             )
 
 
+@pytest.fixture(scope="module")
+def structured_goldens():
+    data = G.load_structured_goldens()
+    assert data["version"] == G.STRUCTURED_VERSION
+    tunes = data["tunes"]
+    assert len(tunes) == G.STRUCTURED_COUNT
+    return tunes
+
+
+def test_structured_python_pipeline_matches_goldens(structured_goldens):
+    """Corpus-scale byte freeze (100 structured tunes; the ABC text is
+    frozen inside the golden file, so this pins the tokenizer even if
+    the generator evolves)."""
+    for key, g in structured_goldens.items():
+        score, semis, tokens, vocab, encodings = G.pipeline(g["abc"])
+        assert list(score.time_signature) == g["time_signature"], key
+        assert list(score.pitch_range()) == g["pitch_range"], key
+        assert int(score.highest_time * 6) == g["total_ticks"], key
+        assert list(semis) == g["semitones"], key
+        assert [vocab.token(i) for i in range(len(vocab))] == g["vocab"], key
+        for s in semis:
+            assert tokens[s] == g["tokens"][str(s)], (key, s)
+            np.testing.assert_array_equal(
+                encodings[s], g["encodings"][str(s)], err_msg=f"{key} @ {s}"
+            )
+
+
+@pytest.mark.skipif(not NativeTokenizer.available(),
+                    reason="native library not built")
+def test_structured_native_matches_goldens(structured_goldens):
+    for key, g in structured_goldens.items():
+        semis = g["semitones"]
+        native_tokens = NativeTokenizer.scan_tokens(g["abc"], semis)
+        expect = [t for s in semis for t in g["tokens"][str(s)]]
+        assert native_tokens == expect, key
+        nt = NativeTokenizer(g["vocab"])
+        rows = nt.encode_transpositions(g["abc"], semis)
+        assert rows is not None, NativeTokenizer.last_error()
+        for s, row in zip(semis, rows):
+            np.testing.assert_array_equal(
+                row, g["encodings"][str(s)], err_msg=f"{key} @ {s}"
+            )
+
+
 @pytest.mark.skipif(not NativeTokenizer.available(),
                     reason="native library not built")
 def test_native_tokenizer_matches_goldens(goldens):

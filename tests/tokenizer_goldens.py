@@ -76,5 +76,67 @@ def main():
     print(f"wrote {GOLDEN_PATH}")
 
 
+# --------------------------------------------------------------------- #
+# Corpus-scale structured goldens (round-3 verdict item #7): 100
+# structured-generator tunes, full token streams + vocab + encoded id
+# tensors, one gzip file. The ABC texts are frozen INTO the golden file,
+# so later generator evolution cannot silently invalidate them — the
+# goldens pin the TOKENIZER, not the generator.
+# --------------------------------------------------------------------- #
+
+STRUCTURED_VERSION = 1
+STRUCTURED_COUNT = 100
+STRUCTURED_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "goldens",
+    f"tokenizer_structured_v{STRUCTURED_VERSION}.json.gz",
+)
+
+
+def compute_structured_goldens() -> dict:
+    import random
+
+    from inpaintnet_tpu.data.synthetic import generate_structured_tune
+
+    rng = random.Random(100)
+    tunes = {}
+    for i in range(STRUCTURED_COUNT):
+        text = generate_structured_tune(rng, i, num_bars=16)
+        score, semis, tokens, vocab, encodings = pipeline(text)
+        tunes[str(i)] = {
+            "abc": text,
+            "time_signature": list(score.time_signature),
+            "pitch_range": list(score.pitch_range()),
+            "total_ticks": int(score.highest_time * 6),
+            "semitones": list(semis),
+            "tokens": {str(s): tokens[s] for s in semis},
+            "vocab": [vocab.token(i) for i in range(len(vocab))],
+            "encodings": {str(s): encodings[s] for s in semis},
+        }
+    return {"version": STRUCTURED_VERSION, "tunes": tunes}
+
+
+def load_structured_goldens() -> dict:
+    import gzip
+
+    with gzip.open(STRUCTURED_PATH, "rt") as f:
+        return json.load(f)
+
+
+def main_structured():
+    import gzip
+
+    os.makedirs(os.path.dirname(STRUCTURED_PATH), exist_ok=True)
+    data = json.dumps(compute_structured_goldens(), sort_keys=True)
+    # fixed mtime=0 so regeneration with identical content is byte-stable
+    with open(STRUCTURED_PATH, "wb") as raw:
+        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
+            f.write(data.encode())
+    print(f"wrote {STRUCTURED_PATH} ({os.path.getsize(STRUCTURED_PATH)} B)")
+
+
 if __name__ == "__main__":
-    main()
+    if "--structured" in sys.argv:
+        main_structured()
+    else:
+        main()

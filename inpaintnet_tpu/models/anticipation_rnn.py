@@ -222,6 +222,7 @@ class ConstraintModelGaussianReg(Model):
         temperature: Optional[float] = None,
         train: bool = False,
         rng=None,
+        row_keys=None,
     ):
         """Autoregressive decode as ONE scan over ticks (replaces reference
         per-tick Python loops :190-259, :261-346, :570-679).
@@ -230,9 +231,18 @@ class ConstraintModelGaussianReg(Model):
             is forced to ground truth (inpainting contexts). None = never.
         :param temperature: if set, sample categorically from
             logits * temperature (reference ``generate`` :661-668 multiplies);
-            else argmax.
+            else argmax. A scalar, or a (B,) per-row vector (serving
+            coalescing — each row samples at its own temperature).
+        :param row_keys: optional (B, 2) uint32 PRNG keys, one per row.
+            When given, row ``b``'s sampling stream is derived from
+            ``row_keys[b]`` alone — independent of batch position and of
+            the other rows (the serving batch-coalescing contract,
+            serve_arnn.ARNNServingEngine.inpaint_hetero); ``rng`` is then
+            unused for sampling. Inference-only (``train=False``).
         :return: (logits (B, T, V), generated tokens (B, T))
         """
+        if row_keys is not None and train:
+            raise ValueError("row_keys serves inference only")
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         r_c, r_scan = jax.random.split(rng)
         batch, T = score.shape
@@ -263,6 +273,7 @@ class ConstraintModelGaussianReg(Model):
             params, constraint_out, score, force_mask,
             start_emb=self._start_embedding(params, batch),
             temperature=temperature, train=train, rng=r_scan,
+            row_keys=row_keys,
         )
 
     def _use_pallas_decode(self, params) -> bool:
@@ -295,7 +306,7 @@ class ConstraintModelGaussianReg(Model):
         return weight_bytes < 10e6
 
     def _sampled_scan(self, params, constraint_out, score, force_mask, *,
-                      start_emb, temperature, train, rng):
+                      start_emb, temperature, train, rng, row_keys=None):
         """The XLA scan formulation of the autoregressive decode (also the
         autodiff fallback for the Pallas routing above)."""
         batch, T = score.shape
@@ -305,7 +316,20 @@ class ConstraintModelGaussianReg(Model):
         cdt = constraint_out.dtype
         h0 = (jnp.zeros((L, batch, H), cdt), jnp.zeros((L, batch, H), cdt))
         prev0 = start_emb
-        step_keys = jax.random.split(r_scan, T)
+        if row_keys is None:
+            # batch-level stream: one key per tick, shared by all rows
+            step_keys = jax.random.split(r_scan, T)
+        else:
+            # per-row streams: row b's tick keys derive from row_keys[b]
+            # alone (raw uint32 threefry key data, same scheme as
+            # latent_rnn.get_z_seq) -> (T, B, 2)
+            step_keys = jnp.swapaxes(
+                jax.vmap(lambda k: jax.random.split(k, T))(row_keys), 0, 1
+            )
+        if temperature is not None:
+            # scalar, or (B,) per-row vector -> column for (B, V) logits
+            temp = jnp.asarray(temperature)
+            temp = temp[:, None] if temp.ndim else temp
 
         gen_params = params["lstm_generation"]
 
@@ -322,8 +346,10 @@ class ConstraintModelGaussianReg(Model):
                 inp = h_l
             out = inp
             logits = self._head(params, out)
-            if temperature is not None:
-                sampled = sample_categorical(key, logits * temperature)
+            if temperature is not None and row_keys is not None:
+                sampled = jax.vmap(sample_categorical)(key, logits * temp)
+            elif temperature is not None:
+                sampled = sample_categorical(key, logits * temp)
             else:
                 sampled = sample_argmax(logits)
             token = jnp.where(fm_t > 0, gt_t, sampled)
@@ -376,15 +402,20 @@ class ConstraintModelGaussianReg(Model):
         )
 
     def generate(
-        self, params, score, metadata, constraints_loc, *, temperature=1.0, rng=None
+        self, params, score, metadata, constraints_loc, *, temperature=1.0,
+        rng=None, row_keys=None,
     ):
         """Temperature sampling over the full sequence (reference
         ``generate`` :570-679; constraints flow through the unary-constraint
-        channel, context ticks are forced like ``forward_inpaint``)."""
+        channel, context ticks are forced like ``forward_inpaint``).
+
+        ``temperature`` may be a (B,) per-row vector and ``row_keys`` a
+        (B, 2) per-row key array (see :meth:`forward_sampled`) — the
+        serving layer's coalescing contract."""
         logits, tokens = self.forward_sampled(
             params, score, metadata, constraints_loc,
             force_mask=constraints_loc, temperature=temperature,
-            train=False, rng=rng,
+            train=False, rng=rng, row_keys=row_keys,
         )
         return logits, tokens
 

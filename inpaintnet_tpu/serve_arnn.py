@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from inpaintnet_tpu.models.base import cast_pytree
-from inpaintnet_tpu.serve import pick_bucket, token_wire_dtype
+from inpaintnet_tpu.serve import derive_row_keys, pick_bucket, token_wire_dtype
 
 __all__ = ["ARNNServingEngine"]
 
@@ -96,14 +96,16 @@ class ARNNServingEngine:
         """The compiled core takes compact wire inputs: int16 tokens and
         per-row (start, num) measure spans; the (B, T) constraint mask
         and the (B, T, C) metadata broadcast are built on device. Only
-        the argmax-vs-sampled switch is structural — the temperature
-        VALUE is a traced scalar, so one sampled program serves every
-        temperature (a per-value compile would let clients force
-        unbounded recompiles)."""
+        the argmax-vs-sampled switch is structural — temperatures arrive
+        as a traced (B,) VECTOR and sampling keys as (B, 2) per-row key
+        data, so one sampled program serves every temperature/seed mix
+        (per-value compiles would let clients force unbounded recompiles)
+        and every row's stream depends on its own key alone — the
+        coalescing contract (:meth:`inpaint_hetero`)."""
         model = self.model
         msl = self.msl
 
-        def core(params, score, metadata, starts, nums, key, temp):
+        def core(params, score, metadata, starts, nums, row_keys, temps):
             wire_dtype = score.dtype
             score = score.astype(jnp.int32)
             b, total = score.shape
@@ -113,12 +115,15 @@ class ARNNServingEngine:
                    | (tick[None, :] >= ((starts + nums) * msl)[:, None])
                    ).astype(jnp.int32)
             if not sampled:
+                # argmax — deterministic; keys/temps unused
                 logits, tokens = model.apply_inpaint(
-                    params, score, md, loc, train=False, rng=key
+                    params, score, md, loc, train=False,
+                    rng=jax.random.PRNGKey(0),
                 )
             else:
                 logits, tokens = model.generate(
-                    params, score, md, loc, temperature=temp, rng=key,
+                    params, score, md, loc, temperature=temps,
+                    row_keys=row_keys,
                 )
             # compact wire dtype on the way back too (halves the
             # device->host transfer; vocab < 2**15 whenever int16 in)
@@ -152,19 +157,22 @@ class ARNNServingEngine:
     # ------------------------------------------------------------------ #
     def inpaint_hetero(self, requests: Sequence[dict],
                        bucket: Optional[int] = None) -> list:
-        """Several independent ARGMAX inpaint requests in ONE device call
-        (the dynamic-batching primitive — server.py). The argmax decode
-        has no randomness and the constraint mask is per-row, so packing
+        """Several independent inpaint requests in ONE device call (the
+        dynamic-batching primitive — server.py). The constraint mask,
+        sampling temperature, and PRNG keys are all per-row, so packing
         requests is bit-exact vs their solo runs AT A GIVEN BUCKET (pin
         one via ``bucket`` for bit-identity across load levels —
-        different buckets are different XLA executables); the one
-        constraint is a shared measure count (no padding mask — module
-        docstring), which the server's batcher groups by.
+        different buckets are different XLA executables). Two grouping
+        constraints remain, which the server's batcher groups by: a
+        shared measure count (no padding mask — module docstring) and a
+        shared decode kind — argmax and sampled are different programs.
 
         :param requests: dicts with ``tokens`` (b, M, msl),
-            ``start_measure``, ``num_measures`` — all sharing M;
-            ``temperature`` requests are not coalescable (batch-level
-            sampling keys) and must go through :meth:`inpaint`
+            ``start_measure``, ``num_measures`` — all sharing M — plus
+            optional ``temperature`` (ALL requests argmax, or ALL
+            sampled) and ``seed`` (sampled; row keys derive from
+            (request seed, row-within-request), so a request's output
+            never depends on its co-travellers)
         :return: list of per-request outputs
         """
         if not requests:
@@ -174,6 +182,12 @@ class ARNNServingEngine:
             raise ValueError(
                 f"coalesced ARNN requests must share a measure count; "
                 f"got {sorted(ms)}"
+            )
+        kinds = {r.get("temperature") is None for r in requests}
+        if len(kinds) != 1:
+            raise ValueError(
+                "coalesced ARNN requests must share a decode kind "
+                "(all argmax or all sampled — different programs)"
             )
         toks = [np.asarray(r["tokens"]) for r in requests]
         sizes = [t.shape[0] for t in toks]
@@ -185,8 +199,23 @@ class ARNNServingEngine:
             np.full((n,), r["num_measures"], np.int64)
             for n, r in zip(sizes, requests)
         ])
+        sampled = not kinds.pop()
+        temperature = None
+        row_keys = None
+        if sampled:
+            temperature = np.concatenate([
+                np.full((n,), r["temperature"], np.float32)
+                for n, r in zip(sizes, requests)
+            ])
+            row_keys = np.concatenate([
+                derive_row_keys(
+                    self.seed if r.get("seed") is None else r["seed"], n
+                )
+                for n, r in zip(sizes, requests)
+            ])
         out = self.inpaint(np.concatenate(toks), starts, nums,
-                           bucket=bucket)
+                           temperature=temperature, bucket=bucket,
+                           row_keys=row_keys)
         outs = []
         lo = 0
         for n in sizes:
@@ -200,8 +229,9 @@ class ARNNServingEngine:
         start_measure,
         num_measures,
         seed: Optional[int] = None,
-        temperature: Optional[float] = None,
+        temperature=None,
         bucket: Optional[int] = None,
+        row_keys: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Regenerate ``num_measures`` measures from ``start_measure``.
 
@@ -216,9 +246,16 @@ class ARNNServingEngine:
             heterogeneous spans in one batch (the constraint mask is
             per-row)
         :param temperature: None = the reference ``forward_inpaint``
-            argmax decode (deterministic — ``seed`` unused); a float =
-            the reference ``generate`` multinomial sampling at that
-            temperature (the tester uses 1.5), seeded by ``seed``
+            argmax decode (deterministic — ``seed`` unused); a float or
+            per-row (B,) vector = the reference ``generate`` multinomial
+            sampling at that temperature (the tester uses 1.5). Row
+            ``b``'s stream derives HOST-side from ``(seed, b)``
+            (serve.derive_row_keys) — independent of batch position and
+            of the other rows, so sampled requests coalesce bit-exactly
+            (:meth:`inpaint_hetero`)
+        :param row_keys: advanced — precomputed (B, 2) uint32 per-row
+            keys (the hetero path passes per-request-derived ones);
+            overrides ``seed``
         :return: (B, M, msl) tokens with each row's span replaced
         """
         tokens = np.asarray(tokens)
@@ -237,18 +274,35 @@ class ARNNServingEngine:
         assert ((1 <= nums) & (starts >= 1)
                 & (starts + nums <= m)).all(), \
             "need >= 1 past measure, >= 0 future, 1 <= span <= m - start"
+        sampled = temperature is not None
+        if row_keys is None and sampled:
+            # per-row streams from (seed, row) — the solo path derives
+            # the SAME keys the hetero path would for a lone request, so
+            # solo == coalesced bit-exactly at a given bucket
+            row_keys = derive_row_keys(
+                self.seed if seed is None else seed, b
+            )
+        temps = (np.broadcast_to(
+            np.asarray(1.0 if temperature is None else temperature,
+                       np.float32), (b,)
+        ) if not sampled or np.ndim(temperature) == 0
+            else np.asarray(temperature, np.float32))
+        assert temps.shape == (b,), (temps.shape, b)
         if b > self.batch_buckets[-1]:
+            mb = self.batch_buckets[-1]
             out = [
-                self.inpaint(tokens[lo:lo + self.batch_buckets[-1]],
-                             starts[lo:lo + self.batch_buckets[-1]],
-                             nums[lo:lo + self.batch_buckets[-1]],
-                             seed=seed, temperature=temperature,
-                             bucket=bucket)
-                for lo in range(0, b, self.batch_buckets[-1])
+                self.inpaint(tokens[lo:lo + mb],
+                             starts[lo:lo + mb],
+                             nums[lo:lo + mb],
+                             temperature=(temps[lo:lo + mb] if sampled
+                                          else None),
+                             bucket=bucket,
+                             row_keys=(row_keys[lo:lo + mb] if sampled
+                                       else None))
+                for lo in range(0, b, mb)
             ]
             return np.concatenate(out)
-        bucket, fn = self._compiled_for(b, m, temperature is not None,
-                                        bucket)
+        bucket, fn = self._compiled_for(b, m, sampled, bucket)
         total = m * msl
         score = np.zeros((bucket, total), token_wire_dtype(vocab))
         score[:b] = tokens.reshape(b, total)
@@ -256,10 +310,13 @@ class ARNNServingEngine:
         nums_w = np.ones((bucket,), np.int32)
         starts_w[:b] = starts
         nums_w[:b] = nums
-        key = jax.random.PRNGKey(self.seed if seed is None else seed)
-        temp = np.float32(1.0 if temperature is None else temperature)
+        keys_w = np.zeros((bucket, 2), np.uint32)
+        temps_w = np.ones((bucket,), np.float32)
+        if sampled:
+            keys_w[:b] = row_keys
+        temps_w[:b] = temps
         gen = np.asarray(fn(self._params, score, self._metadata(total),
-                            starts_w, nums_w, key, temp))
+                            starts_w, nums_w, keys_w, temps_w))
         # host-side copy of the span mask for the scatter (fetching the
         # device-built loc would be a (bucket, T) download per call)
         tick = np.arange(total)

@@ -21,12 +21,17 @@ Endpoints (JSON in/out):
   auto-batched and returned at its input rank.
 - ``POST /v1/inpaint_variations`` — same plus ``"num_variations"``;
   returns ``{"variations": ...}`` of shape (variations, batch, measures,
-  24) (or (variations, measures, 24) for a single example).
+  24) (or (variations, measures, 24) for a single example). Dispatched
+  as nvar-tiled rows through the SAME hetero path as ``/v1/inpaint``
+  (per-row keys), so variations coalesce with any traffic and
+  variation 0 bit-equals the seeded ``/v1/inpaint`` response.
 - ``POST /v1/inpaint_ticks`` — the reference tester's tick-range API:
   ``{"tokens": ..., "start_tick": t0, "end_tick": t1, "seed": optional}``.
 - ``POST /v1/arnn/inpaint`` — the AnticipationRNN family (when the
   server holds an ``arnn_engine``): argmax constraint inpainting, or the
-  reference's temperature sampling with ``"temperature"``.
+  reference's temperature sampling with ``"temperature"`` (both kinds
+  coalesce under ``batching`` — sampled rows use per-row temperature
+  vectors and (seed, row)-derived keys, grouped by decode kind).
 - ``POST /v1/interpolate`` — latent interpolation between two measures
   (``measure_a``/``measure_b`` + ``num_points``; deterministic).
 - ``GET  /metrics`` — Prometheus text format (request/status counters,
@@ -507,14 +512,18 @@ class InpaintingServer:
                      pin_bucket=pin_bucket, metrics=self.metrics)
             if batching else None
         )
-        # ARNN requests coalesce too (argmax decode — no RNG; bit-exact
-        # vs solo at a given bucket, and pin_bucket passes through for
-        # bit-identity under any load), grouped by measure count
-        # (programs are per-length)
+        # ARNN requests coalesce too — argmax (no RNG) AND sampled
+        # (per-row temperature + per-row (seed, row)-derived keys, so a
+        # response never depends on its co-travellers; bit-exact vs solo
+        # at a given bucket, and pin_bucket passes through for
+        # bit-identity under any load). Grouped by (measure count,
+        # decode kind): programs are per-length, and argmax/sampled are
+        # different programs (serve_arnn.inpaint_hetero).
         self._arnn_batcher = (
             _Batcher(arnn_engine, self._lock, max_wait_ms=max_wait_ms,
                      metrics=self.metrics, pin_bucket=pin_bucket,
-                     group_key=lambda req: req["tokens"].shape[1],
+                     group_key=lambda req: (req["tokens"].shape[1],
+                                            "temperature" in req),
                      dispatch=lambda reqs: arnn_engine.inpaint_hetero(
                          reqs, bucket=pin_bucket))
             if batching and arnn_engine is not None else None
@@ -652,9 +661,29 @@ class InpaintingServer:
         seed = payload.get("seed")
         if seed is not None and not isinstance(seed, int):
             raise _BadRequest("seed must be an integer")
-        with self._lock:
-            out = e.inpaint_variations(tokens, start, num, nvar, seed=seed)
-        # engine returns (variations, batch, measures, msl)
+        b = tokens.shape[0]
+        cap = (self._pin_bucket if self._pin_bucket is not None
+               else e.batch_buckets[-1])
+        if not e.model.auto_reg and nvar * b <= cap:
+            # a variations request is EXACTLY an inpaint request with
+            # nvar-tiled rows: the hetero path's per-row keys
+            # (derive_row_keys(seed, nvar*b)) already make every tiled
+            # row a distinct draw, so variations ride the SAME dispatch
+            # (and batcher) as /v1/inpaint — coalescing with any traffic,
+            # bit-exact solo-vs-coalesced, and variation 0 bit-equal to
+            # the seeded /v1/inpaint response (shared key prefix).
+            tiled = np.tile(tokens, (nvar, 1, 1))
+            out = self._run_inpaint(tiled, start, num, seed)
+            out = out.reshape((nvar, b) + tokens.shape[1:])
+        else:
+            # oversized (or autoregressive): the engine's bulk path —
+            # encode-once cached-posterior generation (a different RNG
+            # stream from the hetero path; seeded reproducibility holds
+            # per path)
+            with self._lock:
+                out = e.inpaint_variations(tokens, start, num, nvar,
+                                           seed=seed)
+        # (variations, batch, measures, msl)
         return {"variations": out[:, 0] if single else out}
 
     def _inpaint_ticks(self, payload: dict) -> dict:
@@ -761,15 +790,20 @@ class InpaintingServer:
                     "temperature must be a positive finite number"
                 )
             temperature = float(temperature)
-        if (temperature is None and self._arnn_batcher is not None
+        if (self._arnn_batcher is not None
                 and tokens.shape[0] <= self._arnn_batcher.max_rows):
-            # argmax requests coalesce (no RNG — bit-exact at a given
-            # bucket); sampled ones draw from a batch-level key and go
-            # solo
-            out = self._arnn_batcher.submit({
-                "tokens": tokens, "start_measure": start,
-                "num_measures": num,
-            })
+            # both decode kinds coalesce: argmax has no RNG, and sampled
+            # rows draw from (seed, row-within-request)-derived keys —
+            # bit-exact vs solo at a given bucket either way. The
+            # batcher groups by decode kind (different programs), so a
+            # sampled request only includes temperature/seed fields.
+            req = {"tokens": tokens, "start_measure": start,
+                   "num_measures": num}
+            if temperature is not None:
+                req["temperature"] = temperature
+                if seed is not None:
+                    req["seed"] = seed
+            out = self._arnn_batcher.submit(req)
         else:
             with self._lock:
                 out = e.inpaint(tokens, start, num, seed=seed,

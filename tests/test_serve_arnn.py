@@ -133,6 +133,56 @@ def test_arnn_inpaint_hetero(engine):
     assert engine.inpaint_hetero([]) == []
 
 
+def test_arnn_sampled_hetero(engine):
+    """Sampled requests coalesce too: per-row temperature vectors and
+    per-row (seed, row)-derived keys make a request's tokens identical
+    solo vs coalesced — whatever temperatures/seeds its co-travellers
+    use."""
+    reqs = [
+        {"tokens": _toks(2, 8, 50), "start_measure": 3, "num_measures": 2,
+         "temperature": 1.5, "seed": 7},
+        {"tokens": _toks(1, 8, 51), "start_measure": 5, "num_measures": 1,
+         "temperature": 0.7, "seed": 8},
+    ]
+    outs = engine.inpaint_hetero(reqs, bucket=4)
+    for req, out in zip(reqs, outs):
+        solo = engine.inpaint(req["tokens"], req["start_measure"],
+                              req["num_measures"], seed=req["seed"],
+                              temperature=req["temperature"], bucket=4)
+        np.testing.assert_array_equal(out, solo)
+    # different temperatures genuinely take effect per row: same seed,
+    # different temperature => different span content (with overwhelming
+    # probability over a 2-measure span)
+    hot = engine.inpaint(reqs[0]["tokens"], 3, 2, seed=7, temperature=5.0,
+                         bucket=4)
+    assert not np.array_equal(outs[0], hot)
+    # decode kinds don't mix (argmax and sampled are different programs)
+    with pytest.raises(ValueError, match="decode kind"):
+        engine.inpaint_hetero([
+            reqs[0],
+            {"tokens": _toks(1, 8, 52), "start_measure": 2,
+             "num_measures": 1},
+        ])
+
+
+def test_arnn_per_row_temperature_vector(engine):
+    """engine.inpaint accepts a (B,) per-row temperature vector — each
+    row samples at its own temperature, matching the row's solo run
+    (at a pinned bucket; keys passed per row)."""
+    from inpaintnet_tpu.serve import derive_row_keys
+
+    toks = _toks(2, 8, 53)
+    keys = derive_row_keys(11, 2)
+    both = engine.inpaint(toks, 3, 2, temperature=np.array([1.5, 0.7]),
+                          row_keys=keys, bucket=4)
+    solo0 = engine.inpaint(toks[:1], 3, 2, temperature=1.5,
+                           row_keys=keys[:1], bucket=4)
+    solo1 = engine.inpaint(toks[1:], 3, 2, temperature=0.7,
+                           row_keys=keys[1:], bucket=4)
+    np.testing.assert_array_equal(both[0], solo0[0])
+    np.testing.assert_array_equal(both[1], solo1[0])
+
+
 def test_arnn_server_coalesces(engine):
     """Concurrent same-length argmax ARNN requests share one device
     batch; different-length and sampled requests get their own."""
@@ -194,18 +244,26 @@ def test_arnn_server_coalesces(engine):
             solo = engine.inpaint(req["tokens"], req["start_measure"],
                                   req["num_measures"])
             np.testing.assert_array_equal(got, solo)
-        # sampled request bypasses the batcher (batch-level key)
+        # sampled requests go through the batcher too (per-row keys +
+        # per-row temperature — round-4 coalescing completion), in their
+        # own group (different program from argmax), bit-equal to the
+        # engine's solo sampled run
+        stoks = _toks(1, 8, 32)
         conn = http.client.HTTPConnection("127.0.0.1", srv.port,
                                           timeout=120)
         conn.request("POST", "/v1/arnn/inpaint", body=json.dumps({
-            "tokens": _toks(1, 8, 32)[0].tolist(), "start_measure": 3,
+            "tokens": stoks[0].tolist(), "start_measure": 3,
             "num_measures": 2, "temperature": 1.5, "seed": 4,
         }), headers={"Content-Type": "application/json"})
         resp = conn.getresponse()
-        assert resp.status == 200
-        resp.read()
+        out = json.loads(resp.read())
         conn.close()
-        assert srv._arnn_batcher.calls == calls0 + 1  # unchanged
+        assert resp.status == 200, out
+        assert srv._arnn_batcher.calls == calls0 + 2
+        np.testing.assert_array_equal(
+            np.asarray(out["tokens"]),
+            engine.inpaint(stoks, 3, 2, seed=4, temperature=1.5)[0],
+        )
     finally:
         srv.stop()
 

@@ -198,6 +198,61 @@ def test_server_coalesces_concurrent_requests(batch_server):
         np.testing.assert_array_equal(got, solo)
 
 
+def test_variations_coalesce_with_inpaint_traffic(batch_server):
+    """A variations request is nvar-tiled rows on the SAME hetero path as
+    /v1/inpaint: it shares the device batch with concurrent inpaint
+    traffic, its response is bit-identical solo vs coalesced, and
+    variation 0 bit-equals the seeded /v1/inpaint response (shared
+    per-row key prefix)."""
+    toks = _toks(1, 16, 60)
+    var_req = {"tokens": toks[0].tolist(), "start_measure": 6,
+               "num_measures": 2, "num_variations": 3, "seed": 13}
+    inp_req = {"tokens": _toks(2, 16, 61).tolist(), "start_measure": 4,
+               "num_measures": 3, "seed": 14}
+    # solo runs first (each its own batch)
+    status, solo_var = _post(batch_server, "/v1/inpaint_variations",
+                             var_req)
+    assert status == 200
+    status, solo_inp = _post(batch_server, "/v1/inpaint", inp_req)
+    assert status == 200
+    # variation 0 == the seeded inpaint response for the same request
+    status, plain = _post(batch_server, "/v1/inpaint", {
+        "tokens": var_req["tokens"], "start_measure": 6,
+        "num_measures": 2, "seed": 13,
+    })
+    assert status == 200
+    np.testing.assert_array_equal(
+        np.asarray(solo_var["variations"])[0], np.asarray(plain["tokens"])
+    )
+    # distinct variations (per-row keys differ)
+    v = np.asarray(solo_var["variations"])
+    assert not np.array_equal(v[0], v[1])
+    # now coalesced: both POSTs in one batcher window
+    calls_before = batch_server._batcher.calls
+    results = {}
+
+    def post(name, path, payload):
+        status, out = _post(batch_server, path, payload)
+        assert status == 200, out
+        results[name] = out
+
+    threads = [
+        threading.Thread(target=post,
+                         args=("var", "/v1/inpaint_variations", var_req)),
+        threading.Thread(target=post, args=("inp", "/v1/inpaint", inp_req)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert batch_server._batcher.calls == calls_before + 1, \
+        "variations did not share the device batch with inpaint traffic"
+    np.testing.assert_array_equal(np.asarray(results["var"]["variations"]),
+                                  np.asarray(solo_var["variations"]))
+    np.testing.assert_array_equal(np.asarray(results["inp"]["tokens"]),
+                                  np.asarray(solo_inp["tokens"]))
+
+
 def test_server_batching_stats_and_validation(batch_server):
     status, health = _post_get(batch_server, "/healthz")
     assert status == 200

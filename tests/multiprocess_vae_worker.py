@@ -9,7 +9,11 @@ tail (parallel/mesh.py:93-163, train/trainer.py:249-295). Writes its
 per-epoch losses to JSON for the parent to compare against a single-process
 run of the same data/seed.
 
-Usage: python multiprocess_vae_worker.py <pid> <nprocs> <port> <outdir>
+Usage: python multiprocess_vae_worker.py <pid> <nprocs> <port> <outdir> [devs]
+
+``devs`` = virtual devices per process (default 4); the test drives both
+the 2-process x 4-device and 4-process x 2-device layouts over the same
+8-device global mesh.
 """
 import json
 import os
@@ -18,9 +22,10 @@ import sys
 PID, NPROCS, PORT, OUTDIR = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
 )
+DEVS = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={DEVS}"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -42,7 +47,7 @@ from multiprocess_vae_common import (  # noqa: E402
 )
 
 assert jax.process_count() == NPROCS, jax.process_count()
-assert jax.device_count() == 4 * NPROCS
+assert jax.device_count() == DEVS * NPROCS
 
 trainer = build_trainer()
 train_global, eval_global = global_batches()

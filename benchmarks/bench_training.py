@@ -118,6 +118,99 @@ def main():
               f"{rows / ms * 1e3:9,.0f} measures/s  "
               f"{tf / 1e12:5.1f} TFLOP/s  MFU~{tf / peak * 100:4.1f}%")
 
+    if "vaek" in sections:
+        # Round-3 verdict #2: the fused encoder kernel routed into the
+        # TRAINING forward (kernel primal + XLA-linearized backward,
+        # kernel_with_xla_grad) at the flagship shape — batch 256 windows
+        # = 4096 measure rows, at/above the measured serving crossover.
+        # A/B interleaved per PERFORMANCE.md landmine #6.
+        print("=== VAE train step: encoder train-kernel A/B "
+              "(bf16, batch 256 = 4096 rows) ===")
+        from inpaintnet_tpu.parallel.mesh import replicate, shard_batch
+        from inpaintnet_tpu.utils.timing import fetch
+
+        rows = 256 * 16
+        batch = rs.randint(0, V, (rows, T)).astype(np.int32)
+        configs = []
+        for impl in ("xla", "pallas"):
+            os.environ["INPAINTNET_TRAIN_ENCODER_IMPL"] = impl
+            tr = VAETrainer(ds, vae, lr=1e-4, compute_dtype="bfloat16")
+            tr._build_steps()
+            state = [replicate(tr.mesh, vae.params),
+                     tr.optimizer.init(vae.params)]
+            bd = shard_batch(tr.mesh, batch)
+            key = jax.random.PRNGKey(0)
+
+            def step(state, tr=tr, bd=bd, key=key):
+                p, o, loss, _ = tr._train_step(state[0], state[1], bd, key,
+                                               None)
+                return [p, o], loss
+
+            loss = None
+            for _ in range(30):  # trace under the env value + ramp-out
+                state, loss = step(state)
+            fetch(loss)
+            configs.append([impl, step, state])
+        os.environ.pop("INPAINTNET_TRAIN_ENCODER_IMPL", None)
+        best = {impl: float("inf") for impl, _, _ in configs}
+        iters = 10
+        for _ in range(6):
+            for cfg in configs:
+                impl, step, state = cfg
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    state, loss = step(state)
+                fetch(loss)
+                best[impl] = min(
+                    best[impl], (time.perf_counter() - t0) / iters * 1e3
+                )
+                cfg[2] = state
+        for impl in best:
+            print(f"encoder={impl:7s} {best[impl]:7.1f} ms/step  "
+                  f"{rows / best[impl] * 1e3:9,.0f} measures/s")
+        print(f"kernel route speedup: {best['xla'] / best['pallas']:.3f}x")
+
+    if "decomp" in sections:
+        # Where the bf16 train step's time goes: fwd vs fwd+bwd per
+        # component at the flagship 4096-row shape (the verdict-requested
+        # decomposition behind the adopt/reject call).
+        print("=== VAE train-step decomposition (bf16, 4096 rows) ===")
+        from inpaintnet_tpu.train.vae_trainer import VAETrainer as _VT
+
+        rows = 256 * 16
+        toks = jnp.asarray(rs.randint(0, V, (rows, T)), jnp.int32)
+        p16 = jax.device_put(jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.bfloat16)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            vae.params,
+        ))
+        key = jax.random.PRNGKey(0)
+
+        def enc_fwd(p, t):
+            d = vae.encoder.apply(p["encoder"], t, train=True, rng=key)
+            return jnp.sum(d.loc.astype(jnp.float32) ** 2) + jnp.sum(
+                d.scale.astype(jnp.float32)
+            )
+
+        def dec_fwd(p, t):
+            z = jnp.zeros((t.shape[0], vae.latent_space_dim), jnp.bfloat16)
+            w, _ = vae.decoder.apply(p["decoder"], z, t, train=True, rng=key)
+            return jnp.sum(w.astype(jnp.float32) ** 2)
+
+        def full_loss(p, t):
+            tr = _VT(ds, vae, lr=1e-4, compute_dtype="bfloat16")
+            loss, _ = tr.loss_and_metrics(p, t, key, True)
+            return loss
+
+        for name, fn in (("encoder", enc_fwd), ("decoder", dec_fwd),
+                         ("full loss", full_loss)):
+            t_f = timeit(jax.jit(fn), p16, toks, iters=10)
+            t_fb = timeit(
+                jax.jit(lambda p, t, fn=fn: jax.value_and_grad(fn)(p, t)),
+                p16, toks, iters=10,
+            )
+            print(f"{name:10s} fwd {t_f:6.2f} ms   fwd+bwd {t_fb:6.2f} ms")
+
     if "latent" in sections:
         print("=== LatentRNN train step (frozen VAE fwd + gen-path bwd) ===")
     for batch_w in (32, 256) if "latent" in sections else ():

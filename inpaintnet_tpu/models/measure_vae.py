@@ -23,6 +23,7 @@ TPU-first redesign of the reference model family
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -150,6 +151,10 @@ class Encoder:
             )
             h_n = fn(params["gru"], params["embedding"]["table"], score_tensor)
             return self._heads(params, h_n, batch)
+        if train and self._use_pallas(params) and os.environ.get(
+            "INPAINTNET_TRAIN_ENCODER_IMPL", "xla"
+        ) == "pallas":
+            return self._apply_train_pallas(params, score_tensor, rng)
         emb = embedding_apply(params["embedding"], score_tensor)
         _, h_n = gru_apply(
             params["gru"], emb, dropout=self.dropout, rng=rng, train=train,
@@ -157,6 +162,50 @@ class Encoder:
             # serving: skip the (B, T, 3H) HBM xw slabs; training keeps the
             # batched projection (one matmul in the backward pass)
             xw_inloop=not train,
+        )
+        return self._heads(params, h_n, batch)
+
+    def _apply_train_pallas(self, params, score_tensor, rng) -> DiagNormal:
+        """TRAINING forward through the fused kernel (round-3 verdict #2).
+
+        Opt-in via ``INPAINTNET_TRAIN_ENCODER_IMPL=pallas``. The
+        inter-layer dropout keep mask is drawn HERE with the exact split
+        sequence ``gru_apply`` would use (one ``split`` for the single
+        non-last layer), then shared between the kernel forward (applied
+        on the materialized layer-0 slabs between its two pallas_calls)
+        and the XLA scan that ``kernel_with_xla_grad`` differentiates —
+        so primal and gradient see the identical dropout pattern, and the
+        route equals the default scan route up to kernel numerics."""
+        from inpaintnet_tpu.ops.encoder_pallas import encoder_hn_pallas
+        from inpaintnet_tpu.ops.pallas_common import kernel_with_xla_grad
+
+        batch = score_tensor.shape[0]
+        rate = self.dropout
+        if rate > 0.0:
+            if rng is None:
+                raise ValueError("dropout requires an rng key in train mode")
+            _, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(
+                sub, 1.0 - rate,
+                (batch, score_tensor.shape[1], 2 * self.rnn_hidden_size),
+            )
+        else:
+            keep = None
+
+        def kernel(gp, tab, tok, kp):
+            return encoder_hn_pallas(gp, tab, tok, keep=kp, rate=rate)
+
+        def xla(gp, tab, tok, kp):
+            return gru_apply(
+                gp, embedding_apply({"table": tab}, tok),
+                dropout=rate, train=True,
+                dropout_masks=None if kp is None else [kp],
+                last_outputs=False,
+            )[1]
+
+        fn = kernel_with_xla_grad(kernel, xla)
+        h_n = fn(
+            params["gru"], params["embedding"]["table"], score_tensor, keep
         )
         return self._heads(params, h_n, batch)
 

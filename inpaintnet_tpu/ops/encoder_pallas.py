@@ -146,26 +146,33 @@ def _l1_kernel(xf_f_ref, xb_f_ref, xf_b_ref, xb_b_ref,
 
 def encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int = 256,
                       ticks_per_step: int = 1,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      keep=None, rate: float = 0.0):
     """Public entry: resolves the interpret-mode env hook OUTSIDE jit so
     the resolved bool is part of the compilation cache key."""
     if interpret is None:
         interpret = interpret_default()
-    return _encoder_hn_pallas(gru_params, emb_table, tokens,
+    return _encoder_hn_pallas(gru_params, emb_table, tokens, keep,
                               tile_b=tile_b, ticks_per_step=ticks_per_step,
-                              interpret=interpret)
+                              interpret=interpret, rate=rate)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_b", "ticks_per_step", "interpret")
+    jax.jit, static_argnames=("tile_b", "ticks_per_step", "interpret", "rate")
 )
-def _encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int,
-                       ticks_per_step: int, interpret: bool):
+def _encoder_hn_pallas(gru_params, emb_table, tokens, keep=None, *,
+                       tile_b: int, ticks_per_step: int, interpret: bool,
+                       rate: float = 0.0):
     """Final hidden states of the 2-layer bidirectional encoder GRU.
 
     :param gru_params: ``gru_init(E, H, 2, bidirectional=True)`` pytree
     :param emb_table: (V, E) note-embedding table
     :param tokens: (B, T) int32
+    :param keep: optional PRECOMPUTED inter-layer dropout keep mask
+        (bool, (B, T, 2H), [:, :, :H] forward / [:, :, H:] backward) applied
+        to layer 0's outputs between the two pallas_calls — the training
+        route (inverted dropout at ``rate``, torch ``nn.GRU(dropout=...)``
+        semantics, matching ``gru_apply(dropout_masks=[keep])`` exactly)
     :return: h_n (4, B, H) in torch layout [l0f, l0b, l1f, l1b]
     """
     batch, seq_len = tokens.shape
@@ -246,6 +253,18 @@ def _encoder_hn_pallas(gru_params, emb_table, tokens, *, tile_b: int,
         ],
         interpret=interpret,
     )(tok_t, tok_t, tab_f, tab_b, p0f["w_hh"], p0b["w_hh"], bih01, bhh01)
+
+    if keep is not None:
+        # inter-layer inverted dropout on the materialized layer-0 slabs
+        # (XLA fuses the elementwise where into the slab write; the same
+        # expression as gru_apply so the two routes drop bit-identically)
+        kf = jnp.swapaxes(keep[:, :, :hidden], 0, 1)  # (T, B, H)
+        kb = jnp.swapaxes(keep[:, :, hidden:], 0, 1)
+        if padded_b != batch:
+            pad = ((0, 0), (0, padded_b - batch), (0, 0))
+            kf, kb = jnp.pad(kf, pad), jnp.pad(kb, pad)
+        ysf = jnp.where(kf, ysf / (1.0 - rate), 0.0).astype(dtype)
+        ysb = jnp.where(kb, ysb / (1.0 - rate), 0.0).astype(dtype)
 
     bih11 = jnp.stack([p1f["b_ih"], p1b["b_ih"]])
     bhh11 = jnp.stack([p1f["b_hh"], p1b["b_hh"]])

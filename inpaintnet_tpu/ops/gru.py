@@ -287,6 +287,7 @@ def gru_apply(
     train: bool = False,
     last_outputs: bool = True,
     xw_inloop: bool = False,
+    dropout_masks=None,
 ):
     """Multi-layer (bi)GRU over a sequence.
 
@@ -296,6 +297,11 @@ def gru_apply(
     :param mask: optional (B, T) validity mask
     :param dropout: inter-layer dropout prob (torch ``nn.GRU(dropout=...)``
         semantics: applied to each layer's output except the last, train only)
+    :param dropout_masks: optional sequence of PRECOMPUTED keep masks
+        (bool, (B, T, H * num_dirs)), one per non-last layer, used instead
+        of drawing from ``rng``. Lets a caller share the exact same masks
+        between this scan and a fused Pallas forward (kernel_with_xla_grad
+        routes the backward through here, so the two must drop identically)
     :param last_outputs: False skips accumulating the LAST layer's per-step
         outputs (callers that only consume ``h_n``, like the encoder and
         the context RNNs, save the whole (B, T, H*dirs) HBM stream);
@@ -344,9 +350,14 @@ def gru_apply(
             else:
                 out = outs_dir[0] if num_dirs == 1 else jnp.concatenate(outs_dir, axis=-1)
         if train and dropout > 0.0 and layer < num_layers - 1:
-            if rng is None:
-                raise ValueError("dropout requires an rng key in train mode")
-            rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
+            if dropout_masks is not None:
+                keep = dropout_masks[layer]
+            else:
+                if rng is None:
+                    raise ValueError(
+                        "dropout requires an rng key in train mode"
+                    )
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
             out = jnp.where(keep, out / (1.0 - dropout), 0.0)
     return out, jnp.stack(h_n, axis=0)

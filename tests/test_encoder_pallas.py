@@ -78,6 +78,55 @@ def test_encoder_kernel_grad_falls_back_to_scan(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_encoder_train_kernel_dropout_parity():
+    """Training route (round-3 verdict #2): the kernel with a precomputed
+    inter-layer keep mask equals ``gru_apply`` consuming the SAME mask via
+    ``dropout_masks`` — including a batch that needs tile padding."""
+    E, H, V, T, B = 10, 16, 30, 24, 12
+    params = gru_init(jax.random.PRNGKey(0), E, H, 2, True)
+    table = jax.random.normal(jax.random.PRNGKey(1), (V, E))
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, V)
+    keep = jax.random.bernoulli(jax.random.PRNGKey(3), 0.5, (B, T, 2 * H))
+
+    emb = jnp.take(table, tokens, axis=0)
+    _, h_ref = gru_apply(params, emb, dropout=0.5, train=True,
+                         dropout_masks=[keep], last_outputs=False)
+    h_pal = encoder_hn_pallas(params, table, tokens, tile_b=8,
+                              interpret=True, keep=keep, rate=0.5)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref),
+                               atol=1e-5)
+
+
+def test_encoder_train_route_values_and_grads_match_scan(monkeypatch):
+    """``INPAINTNET_TRAIN_ENCODER_IMPL=pallas`` route at train=True: same
+    rng -> same dropout mask -> values AND grads match the default scan
+    route (the mask is drawn with gru_apply's exact split sequence)."""
+    from inpaintnet_tpu.models.measure_vae import Encoder
+
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("INPAINTNET_TRAIN_ENCODER_IMPL", "pallas")
+    enc = Encoder(
+        note_embedding_dim=8, rnn_hidden_size=16, num_layers=2,
+        num_notes=30, dropout=0.5, bidirectional=True, z_dim=12,
+    )
+    params = enc.init_params(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (6, 24), 0, 30)
+    rng = jax.random.PRNGKey(7)
+
+    def loss(params):
+        dist = enc.apply(params, tokens, train=True, rng=rng)
+        return jnp.sum(dist.loc ** 2) + jnp.sum(dist.scale)
+
+    monkeypatch.setattr(type(enc), "_use_pallas", lambda self, p: True)
+    v_kernel, g_kernel = jax.value_and_grad(loss)(params)
+    monkeypatch.setattr(type(enc), "_use_pallas", lambda self, p: False)
+    v_scan, g_scan = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(v_kernel), float(v_scan), atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_kernel),
+                    jax.tree_util.tree_leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_latent_rnn_training_grad_with_kernel_gates_on(monkeypatch):
     """End-to-end: the LatentRNN training loss (which differentiates
     through the frozen-VAE decode at train=True) must produce finite grads

@@ -37,34 +37,72 @@ def process_batch_data(batch, latent_rnn_tester, arnn_tester, num_target_measure
     return packed, arnn_batch
 
 
+def _context_repeat_flags(score_2d, num_past, num_target, msl=24):
+    """(B, num_target) bool — target measure j is an EXACT token copy of
+    some context measure of its own window. On corpora with phrase forms
+    (data/synthetic.py structured style) this splits the eval into
+    "restated" measures — where a model can exploit long-range context —
+    and "novel" ones it must model locally. The reference has no such
+    probe; it sharpens the paper-style InpaintNet-vs-ARNN comparison."""
+    b = score_2d.shape[0]
+    meas = score_2d.reshape(b, -1, msl)
+    flags = np.zeros((b, num_target), bool)
+    for i in range(b):
+        ctx = {m.tobytes() for j, m in enumerate(meas[i])
+               if not num_past <= j < num_past + num_target}
+        for j in range(num_target):
+            flags[i, j] = meas[i, num_past + j].tobytes() in ctx
+    return flags
+
+
 def loss_and_acc_test(data_loader, latent_rnn_tester, arnn_tester,
                       arnn_baseline_tester=None, num_target_measures=2,
                       num_models=4):
-    """(reference test_reconstruction.py:255-357)"""
+    """(reference test_reconstruction.py:255-357); adds a context-repeat
+    accuracy breakdown per model (see _context_repeat_flags)."""
     sums = {k: 0.0 for k in (
         "latent_rnn_loss", "latent_rnn_acc", "arnn_loss", "arnn_acc",
         "arnn_baseline_loss", "arnn_baseline_acc")}
+    grp = {m: np.zeros(4) for m in ("latent_rnn", "arnn", "arnn_baseline")}
+    # per model: [repeat_correct, repeat_total, novel_correct, novel_total]
     nb = 0
+    msl = 24
     key = jax.random.PRNGKey(0)
     for i, batch in enumerate(data_loader):
         latent_batch, arnn_batch = process_batch_data(
             batch, latent_rnn_tester, arnn_tester, num_target_measures
         )
         score, md, loc, start_tick, end_tick = arnn_batch
+        num_past = start_tick // msl
+        flags = _context_repeat_flags(score, num_past, num_target_measures,
+                                      msl)
 
-        def arnn_eval(tester):
+        def accumulate(name, corr):
+            """corr: (B, num_target, msl) bool prediction-correct."""
+            rep = flags[:, :, None]
+            grp[name] += np.array([
+                (corr & rep).sum(), np.broadcast_to(rep, corr.shape).sum(),
+                (corr & ~rep).sum(), np.broadcast_to(~rep, corr.shape).sum(),
+            ])
+
+        def arnn_eval(name, tester):
             logits, _ = tester._inpaint(
                 tester.model.params, score, md, loc, jax.random.fold_in(key, i)
             )
             span = logits[:, start_tick:end_tick]
             tgt = score[:, start_tick:end_tick]
+            b = span.shape[0]
+            pred = np.asarray(np.argmax(span, axis=-1))
+            accumulate(name, (pred == tgt).reshape(
+                b, num_target_measures, msl
+            ))
             return (
                 float(mean_crossentropy_loss(span, tgt)),
                 float(mean_accuracy(span, tgt)),
             )
 
         if num_models >= 1:
-            l, a = arnn_eval(arnn_tester)
+            l, a = arnn_eval("arnn", arnn_tester)
             sums["arnn_loss"] += l
             sums["arnn_acc"] += a
         if num_models >= 2:
@@ -81,13 +119,27 @@ def loss_and_acc_test(data_loader, latent_rnn_tester, arnn_tester,
             sums["latent_rnn_acc"] += float(
                 mean_accuracy(weights, target, mask=tick_mask)
             )
+            # the packed target rows 0..num_target-1 are measures
+            # num_past..num_past+num_target-1 (fixed-size stochastic split)
+            pred = np.asarray(np.argmax(weights, axis=-1))
+            corr = (pred == np.asarray(target))[:, :num_target_measures]
+            accumulate("latent_rnn", corr)
         if num_models >= 4 and arnn_baseline_tester is not None:
-            l, a = arnn_eval(arnn_baseline_tester)
+            l, a = arnn_eval("arnn_baseline", arnn_baseline_tester)
             sums["arnn_baseline_loss"] += l
             sums["arnn_baseline_acc"] += a
         nb += 1
     nb = max(nb, 1)
-    return {k: v / nb for k, v in sums.items()}
+    out = {k: v / nb for k, v in sums.items()}
+    tot = grp["arnn"][1] + grp["arnn"][3]
+    if tot:
+        out["repeat_fraction"] = grp["arnn"][1] / tot
+        for name, g in grp.items():
+            if g[1]:
+                out[f"{name}_acc_repeat"] = g[0] / g[1]
+            if g[3]:
+                out[f"{name}_acc_novel"] = g[2] / g[3]
+    return out
 
 
 @click.command()

@@ -101,6 +101,70 @@ def main():
     print(f"per-measure re-encode @ {BATCH}: {t_enc:6.2f} ms")
     print(f"loop lower bound (4 x (dec+enc)): {4 * (t_dec + t_enc):6.2f} ms")
 
+    if "profile" in sys.argv:
+        _profile_roofline(make_inpaint(ar), make_inpaint(model),
+                          (ar.params, model.params), vae.params, args, key)
+
+
+def _profile_roofline(ar_fn, nar_fn, params_pair, vae_params, args, key):
+    """Device-plane roofline for the auto_reg step (round-3 verdict #3):
+    whole-executable span vs the sum of individual device op spans. If the
+    two agree, the step has no removable inter-kernel gap — the residual
+    distance to the 150k bar at this batch is the work itself (the 3 extra
+    re-encodes + small-per-call tiling), not glue."""
+    import shutil
+
+    from inpaintnet_tpu.utils.profiling import trace
+    from inpaintnet_tpu.utils.timing import fetch
+
+    ar_params, nar_params = params_pair
+    for name, fn, p in (("auto_reg", ar_fn, ar_params),
+                        ("non-autoreg", nar_fn, nar_params)):
+        logdir = f"/tmp/arprof_{name.replace('-', '_')}"
+        shutil.rmtree(logdir, ignore_errors=True)
+        fetch(fn(p, vae_params, *args, key))  # compile + warm outside trace
+        fetch(fn(p, vae_params, *args, key))
+        with trace(logdir):
+            out = None
+            for _ in range(3):
+                out = fn(p, vae_params, *args, key)
+            fetch(out)
+        mod, ops = _aggregate_device_ops(logdir)
+        mod_ms = np.median(mod) if mod else float("nan")
+        tot = sum(t for _, t in ops)
+        print(f"\n--- {name}: device module span p50 {mod_ms:.2f} ms; "
+              f"sum of op spans {tot / max(len(mod), 1):.2f} ms/step ---")
+        agg = {}
+        for n, t in ops:
+            base = n.split(".")[0].split("(")[0]
+            agg[base] = agg.get(base, 0.0) + t / max(len(mod), 1)
+        for n, t in sorted(agg.items(), key=lambda kv: -kv[1])[:12]:
+            print(f"  {t:8.3f} ms  {n}")
+
+
+def _aggregate_device_ops(logdir):
+    """(module_spans_ms, [(op_name, total_ms)]) from a profiler capture."""
+    import glob as _g
+    import os as _o
+
+    from jax.profiler import ProfileData
+
+    mods, ops = [], []
+    for path in _g.glob(
+        _o.path.join(logdir, "**", "*.xplane.pb"), recursive=True
+    ):
+        data = ProfileData.from_file(path)
+        for plane in data.planes:
+            if "/device:" not in plane.name:
+                continue
+            for line in plane.lines:
+                for ev in line.events:
+                    if "XLA Modules" in line.name:
+                        mods.append(ev.duration_ns / 1e6)
+                    elif "XLA Ops" in line.name:
+                        ops.append((ev.name, ev.duration_ns / 1e6))
+    return mods, ops
+
 
 if __name__ == "__main__":
     main()

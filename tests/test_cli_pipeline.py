@@ -265,3 +265,31 @@ def test_quality_check_harness_smoke(tmp_path):
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "loaded cached checkpoints" in out2.stdout
+
+
+def test_context_repeat_flags_unit():
+    """The joint harness' long-range probe: exact-copy detection across
+    the window, excluding the target span itself."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from test_reconstruction import _context_repeat_flags
+
+    msl = 4
+    n_meas, num_past, num_t = 6, 2, 2
+    score = np.arange(n_meas * msl).reshape(1, n_meas, msl).copy()
+    # target measure 2 restates context measure 0; target measure 3 is
+    # novel (it matches nothing), and a copy INSIDE the target span must
+    # not count as context
+    score[0, 2] = score[0, 0]
+    flags = _context_repeat_flags(
+        score.reshape(1, -1), num_past, num_t, msl=msl
+    )
+    assert flags.tolist() == [[True, False]]
+    # measure 3 copying its fellow TARGET measure 2 still isn't a repeat
+    score[0, 3] = score[0, 2]
+    score[0, 0] = -1  # break the context copy
+    flags = _context_repeat_flags(
+        score.reshape(1, -1), num_past, num_t, msl=msl
+    )
+    assert flags.tolist() == [[False, False]]

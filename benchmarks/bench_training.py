@@ -129,11 +129,23 @@ def main():
         from inpaintnet_tpu.parallel.mesh import replicate, shard_batch
         from inpaintnet_tpu.utils.timing import fetch
 
+        from inpaintnet_tpu.ops.gru import set_gru_impl
+
         rows = 256 * 16
         batch = rs.randint(0, V, (rows, T)).astype(np.int32)
+        setups = [
+            ("default", {}, "xla"),
+            ("enc-kernel", {"INPAINTNET_TRAIN_ENCODER_IMPL": "pallas"},
+             "xla"),
+            ("trainfast", {}, "trainfast"),
+            ("tf+enc-kernel",
+             {"INPAINTNET_TRAIN_ENCODER_IMPL": "pallas"}, "trainfast"),
+        ]
         configs = []
-        for impl in ("xla", "pallas"):
-            os.environ["INPAINTNET_TRAIN_ENCODER_IMPL"] = impl
+        for name, env, gru_impl in setups:
+            for k, v in env.items():
+                os.environ[k] = v
+            set_gru_impl(gru_impl)
             tr = VAETrainer(ds, vae, lr=1e-4, compute_dtype="bfloat16")
             tr._build_steps()
             state = [replicate(tr.mesh, vae.params),
@@ -150,25 +162,27 @@ def main():
             for _ in range(30):  # trace under the env value + ramp-out
                 state, loss = step(state)
             fetch(loss)
-            configs.append([impl, step, state])
-        os.environ.pop("INPAINTNET_TRAIN_ENCODER_IMPL", None)
-        best = {impl: float("inf") for impl, _, _ in configs}
+            configs.append([name, step, state])
+            for k in env:
+                os.environ.pop(k, None)
+            set_gru_impl("xla")
+        best = {name: float("inf") for name, _, _ in configs}
         iters = 10
         for _ in range(6):
             for cfg in configs:
-                impl, step, state = cfg
+                name, step, state = cfg
                 t0 = time.perf_counter()
                 for _ in range(iters):
                     state, loss = step(state)
                 fetch(loss)
-                best[impl] = min(
-                    best[impl], (time.perf_counter() - t0) / iters * 1e3
+                best[name] = min(
+                    best[name], (time.perf_counter() - t0) / iters * 1e3
                 )
                 cfg[2] = state
-        for impl in best:
-            print(f"encoder={impl:7s} {best[impl]:7.1f} ms/step  "
-                  f"{rows / best[impl] * 1e3:9,.0f} measures/s")
-        print(f"kernel route speedup: {best['xla'] / best['pallas']:.3f}x")
+        for name in best:
+            print(f"{name:14s} {best[name]:7.1f} ms/step  "
+                  f"{rows / best[name] * 1e3:9,.0f} measures/s  "
+                  f"({best['default'] / best[name]:.3f}x)")
 
     if "decomp" in sections:
         # Where the bf16 train step's time goes: fwd vs fwd+bwd per

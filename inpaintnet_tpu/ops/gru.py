@@ -37,20 +37,46 @@ from jax import lax
 from inpaintnet_tpu.ops.linear import xavier_normal
 
 # Global GRU sequence-recurrence implementation:
-#   "xla"    — lax.scan (default; best for tiny batches / CPU)
-#   "pallas" — fused Pallas kernel (ops/gru_pallas.py; weights stay in VMEM
-#              across timesteps; pick on TPU for large-batch layers)
+#   "xla"       — lax.scan (default; best for tiny batches / CPU)
+#   "pallas"    — fused Pallas kernel (ops/gru_pallas.py; weights stay in
+#                 VMEM across timesteps; pick on TPU for large-batch layers)
+#   "trainfast" — minimal-residual custom-VJP scan (ops/gru_trainfast.py;
+#                 pick for large-batch TRAINING: no remat recompute, batched
+#                 weight-grad matmuls; masked layers fall back to "xla")
 _GRU_IMPL = os.environ.get("INPAINTNET_GRU_IMPL", "xla")
 
 
 def set_gru_impl(impl: str):
     global _GRU_IMPL
-    assert impl in ("xla", "pallas")
+    assert impl in ("xla", "pallas", "trainfast")
     _GRU_IMPL = impl
 
 
 def get_gru_impl() -> str:
     return _GRU_IMPL
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def gru_impl_scope(impl: str | None):
+    """Scoped recurrence-impl override (trace-time Python state, like
+    ``ops.quantize.serving_quant``): trainers wrap their loss with
+    ``gru_impl_scope("trainfast")`` so the selection applies to the
+    training trace only, leaving serving/eval traces untouched. ``None``
+    is a no-op scope."""
+    global _GRU_IMPL
+    if impl is None:
+        yield
+        return
+    assert impl in ("xla", "pallas", "trainfast")
+    old = _GRU_IMPL
+    _GRU_IMPL = impl
+    try:
+        yield
+    finally:
+        _GRU_IMPL = old
 
 
 def gru_cell_init(key, input_size: int, hidden_size: int, dtype=jnp.float32):
@@ -106,11 +132,23 @@ def gru_layer_apply(params, x, h0, *, reverse: bool = False, mask=None,
         batches — serving callers pick it
     :return: (outputs (B, T, H) or None, h_last (B, H))
     """
+    impl_r = impl or _GRU_IMPL
+    if impl_r == "trainfast" and mask is None:
+        # minimal-residual custom-VJP route (ops/gru_trainfast.py):
+        # deliberately NOT checkpoint-wrapped — storing the 4H/step gate
+        # residuals instead of recomputing the forward is its whole point.
+        # Masked layers fall back to the default scan below.
+        from inpaintnet_tpu.ops.gru_trainfast import gru_layer_trainfast
+
+        ys, h_last = gru_layer_trainfast(params, x, h0, reverse=reverse)
+        return (ys if want_ys else None, h_last)
+    if impl_r == "trainfast":
+        impl_r = "xla"
     fn = _gru_layer_fwd if mask is not None else _gru_layer_fwd_nomask
     if mask is not None:
-        return fn(params, x, h0, mask, reverse, impl or _GRU_IMPL, want_ys,
+        return fn(params, x, h0, mask, reverse, impl_r, want_ys,
                   xw_inloop)
-    return fn(params, x, h0, reverse, impl or _GRU_IMPL, want_ys, xw_inloop)
+    return fn(params, x, h0, reverse, impl_r, want_ys, xw_inloop)
 
 
 import functools as _functools
@@ -288,6 +326,7 @@ def gru_apply(
     last_outputs: bool = True,
     xw_inloop: bool = False,
     dropout_masks=None,
+    impl: str | None = None,
 ):
     """Multi-layer (bi)GRU over a sequence.
 
@@ -341,7 +380,7 @@ def gru_apply(
                 h0_ld = h0[layer * num_dirs + d]
                 o, h_last = gru_layer_apply(
                     params[layer][d], out, h0_ld, reverse=(d == 1), mask=mask,
-                    want_ys=want_ys, xw_inloop=xw_inloop,
+                    want_ys=want_ys, xw_inloop=xw_inloop, impl=impl,
                 )
                 outs_dir.append(o)
                 h_n.append(h_last)

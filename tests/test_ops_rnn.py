@@ -139,3 +139,92 @@ def test_bidir_fused_matches_directional():
         )
         np.testing.assert_allclose(np.asarray(h_fused[0]), np.asarray(hf), atol=1e-5)
         np.testing.assert_allclose(np.asarray(h_fused[1]), np.asarray(hb), atol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+# trainfast: minimal-residual custom-VJP GRU (ops/gru_trainfast.py)
+# --------------------------------------------------------------------- #
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_trainfast_values_and_grads_match_scan(reverse):
+    from inpaintnet_tpu.ops.gru import gru_cell_init
+    from inpaintnet_tpu.ops.gru_trainfast import gru_layer_trainfast
+
+    B, T, IN, H = 5, 7, 6, 8
+    p = gru_cell_init(jax.random.PRNGKey(0), IN, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (B, H))
+    wy = jax.random.normal(jax.random.PRNGKey(3), (B, T, H))
+    wh = jax.random.normal(jax.random.PRNGKey(4), (B, H))
+
+    def loss(fn, p, x, h0):
+        ys, h_last = fn(p, x, h0, reverse=reverse)
+        return jnp.sum(ys * wy) + jnp.sum(h_last * wh)
+
+    ref = lambda p, x, h0, reverse: gru_layer_apply(  # noqa: E731
+        p, x, h0, reverse=reverse
+    )
+    v_ref, g_ref = jax.value_and_grad(
+        lambda *a: loss(ref, *a), argnums=(0, 1, 2)
+    )(p, x, h0)
+    v_tf, g_tf = jax.value_and_grad(
+        lambda *a: loss(gru_layer_trainfast, *a), argnums=(0, 1, 2)
+    )(p, x, h0)
+    np.testing.assert_allclose(float(v_tf), float(v_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_tf),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainfast_stack_matches_default_with_dropout_masks():
+    """Full bidirectional 2-layer stack through gru_apply(impl=trainfast)
+    with precomputed dropout masks == the default impl, values and grads."""
+    from inpaintnet_tpu.ops.gru import gru_apply, gru_init
+
+    B, T, IN, H = 4, 6, 5, 8
+    params = gru_init(jax.random.PRNGKey(0), IN, H, 2, True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+    keep = jax.random.bernoulli(jax.random.PRNGKey(2), 0.5, (B, T, 2 * H))
+
+    def loss(impl, params, x):
+        out, h_n = gru_apply(
+            params, x, dropout=0.5, train=True, dropout_masks=[keep],
+            impl=impl,
+        )
+        return jnp.sum(out ** 2) + jnp.sum(h_n ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(
+        lambda *a: loss(None, *a), argnums=(0, 1)
+    )(params, x)
+    v_tf, g_tf = jax.value_and_grad(
+        lambda *a: loss("trainfast", *a), argnums=(0, 1)
+    )(params, x)
+    np.testing.assert_allclose(float(v_tf), float(v_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_tf),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainfast_vmap_grad():
+    """vmapped (decoder-style per-beat) use under grad stays correct."""
+    from inpaintnet_tpu.ops.gru import gru_cell_init
+    from inpaintnet_tpu.ops.gru_trainfast import gru_layer_trainfast
+
+    G, B, T, IN, H = 3, 4, 5, 6, 8
+    p = gru_cell_init(jax.random.PRNGKey(0), IN, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (G, B, T, IN))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (G, B, H))
+
+    def one(fn, p, x, h0):
+        ys, h_last = fn(p, x, h0)
+        return jnp.sum(ys ** 2) + jnp.sum(h_last ** 2)
+
+    def loss(fn, p):
+        return jnp.sum(jax.vmap(lambda x, h: one(fn, p, x, h))(x, h0))
+
+    ref = lambda p, x, h0: gru_layer_apply(p, x, h0)  # noqa: E731
+    g_ref = jax.grad(lambda p: loss(ref, p))(p)
+    g_tf = jax.grad(lambda p: loss(gru_layer_trainfast, p))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_tf),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -56,7 +56,11 @@ def _fwd_scan(reverse, w_ih, w_hh, b_ih, b_hh, x, h0):
         h_new = (1.0 - z) * n + z * h
         return h_new, (h_new, r, z, n, hn)
 
-    _, (ys, r, z, n, hn) = lax.scan(step, h0, xw_t, reverse=reverse)
+    # same short-recurrence unroll heuristic as ops/gru.py (the 4-step
+    # beat GRU): XLA fuses unrolled steps where a loop would serialize
+    unroll = xw_t.shape[0] if xw_t.shape[0] <= 4 else 1
+    _, (ys, r, z, n, hn) = lax.scan(step, h0, xw_t, reverse=reverse,
+                                    unroll=unroll)
     return ys, (r, z, n, hn)
 
 
@@ -94,6 +98,7 @@ def _core_bwd(reverse, res, dys):
         bstep, jnp.zeros_like(h0),
         (dys_t, r_t, z_t, n_t, hn_t, hprev_t),
         reverse=not reverse,
+        unroll=seq_len if seq_len <= 4 else 1,
     )
     # batched weight/input grads — large MXU matmuls, outside the scan
     da_f = da_t.reshape(seq_len * batch, 3 * hidden)

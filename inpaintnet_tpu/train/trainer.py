@@ -107,6 +107,12 @@ class Trainer(ABC):
         # Adam state stay fp32 — ~2-4x MXU throughput, no loss scaling
         # needed for bf16
         self.compute_dtype = compute_dtype
+        # training-forward recurrence impl (gru_impl_scope in the loss):
+        # None = global default. INPAINTNET_TRAIN_GRU_IMPL overrides; the
+        # adoption default is decided by the bench_training vaek A/B.
+        self.train_gru_impl = os.environ.get(
+            "INPAINTNET_TRAIN_GRU_IMPL"
+        ) or None
         self.optimizer = optax.adam(lr)
         self.early_stopping = bool(early_stopping)
         if early_stopping:
@@ -212,8 +218,17 @@ class Trainer(ABC):
             extra = maybe_cast(extra) if extra is not None else None
 
             def loss_fn(tp):
+                from inpaintnet_tpu.ops.gru import gru_impl_scope
+
                 full = maybe_cast(self.merge_params(params, tp))
-                loss, metrics = self.loss_and_metrics(full, batch_data, rng, True, extra)
+                # scoped trace-time recurrence selection: the TRAINING
+                # forward/backward uses self.train_gru_impl (e.g. the
+                # minimal-residual "trainfast" VJP, ops/gru_trainfast.py)
+                # while eval/serving traces keep the global default
+                with gru_impl_scope(self.train_gru_impl):
+                    loss, metrics = self.loss_and_metrics(
+                        full, batch_data, rng, True, extra
+                    )
                 return loss, metrics
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -332,3 +332,33 @@ def test_trainer_resume_continues_epoch_numbering(env):
     assert t2.epoch == 2
     t2.train_model(batch_size=8, num_epochs=1, split=(0.7, 0.2))
     assert t2.epoch == 3  # continued, not restarted
+
+
+def test_vae_train_step_trainfast_matches_default(env, monkeypatch):
+    """The minimal-residual trainfast recurrence (INPAINTNET_TRAIN_GRU_IMPL)
+    reproduces the default train step: same loss, same updated params."""
+    ds, ckpt = env
+
+    def one_step(impl):
+        if impl:
+            monkeypatch.setenv("INPAINTNET_TRAIN_GRU_IMPL", impl)
+        else:
+            monkeypatch.delenv("INPAINTNET_TRAIN_GRU_IMPL", raising=False)
+        model = _tiny_vae(ds, ckpt)
+        model.init(jax.random.PRNGKey(3))
+        trainer = VAETrainer(ds, model, lr=3e-3)
+        assert trainer.train_gru_impl == (impl or None)
+        trainer._build_steps()
+        score = np.asarray(ds.arrays[0][:4])
+        bd = trainer.process_batch_data((score, None))
+        params, _, loss, _ = trainer._train_step(
+            trainer.model.params, trainer.opt_state, bd,
+            jax.random.PRNGKey(5), None,
+        )
+        return float(loss), jax.tree_util.tree_leaves(params)
+
+    l_ref, p_ref = one_step(None)
+    l_tf, p_tf = one_step("trainfast")
+    np.testing.assert_allclose(l_tf, l_ref, rtol=1e-6)
+    for a, b in zip(p_tf, p_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

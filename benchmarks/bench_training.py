@@ -216,14 +216,25 @@ def main():
             loss, _ = tr.loss_and_metrics(p, t, key, True)
             return loss
 
-        for name, fn in (("encoder", enc_fwd), ("decoder", dec_fwd),
-                         ("full loss", full_loss)):
-            t_f = timeit(jax.jit(fn), p16, toks, iters=10)
-            t_fb = timeit(
-                jax.jit(lambda p, t, fn=fn: jax.value_and_grad(fn)(p, t)),
-                p16, toks, iters=10,
-            )
-            print(f"{name:10s} fwd {t_f:6.2f} ms   fwd+bwd {t_fb:6.2f} ms")
+        from inpaintnet_tpu.ops.gru import gru_impl_scope
+
+        for impl in ("xla", "trainfast"):
+            print(f"-- recurrence impl: {impl} --")
+            for name, fn in (("encoder", enc_fwd), ("decoder", dec_fwd),
+                             ("full loss", full_loss)):
+
+                def scoped(p, t, fn=fn, impl=impl):
+                    with gru_impl_scope(impl):
+                        return fn(p, t)
+
+                t_f = timeit(jax.jit(scoped), p16, toks, iters=10)
+                t_fb = timeit(
+                    jax.jit(lambda p, t, fn=scoped: jax.value_and_grad(fn)(
+                        p, t
+                    )),
+                    p16, toks, iters=10,
+                )
+                print(f"{name:10s} fwd {t_f:6.2f} ms   fwd+bwd {t_fb:6.2f} ms")
 
     if "latent" in sections:
         print("=== LatentRNN train step (frozen VAE fwd + gen-path bwd) ===")

@@ -140,6 +140,10 @@ def main():
             ("trainfast", {}, "trainfast"),
             ("tf+enc-kernel",
              {"INPAINTNET_TRAIN_ENCODER_IMPL": "pallas"}, "trainfast"),
+            ("unroll4", {"INPAINTNET_GRU_UNROLL": "4"}, "xla"),
+            ("unroll8", {"INPAINTNET_GRU_UNROLL": "8"}, "xla"),
+            ("tf-unroll4", {"INPAINTNET_TRAINFAST_UNROLL": "4"},
+             "trainfast"),
         ]
         configs = []
         for name, env, gru_impl in setups:

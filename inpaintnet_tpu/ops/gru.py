@@ -200,8 +200,12 @@ def _gru_layer_impl(params, x, h0, mask, reverse, impl, want_ys=True,
 
     xs = in_t if mask_t is None else (in_t, mask_t)
     # fully unroll very short recurrences (the 4-step beat GRU): XLA fuses
-    # the unrolled steps where a while-loop would serialize dispatches
-    unroll = in_t.shape[0] if in_t.shape[0] <= 4 else 1
+    # the unrolled steps where a while-loop would serialize dispatches.
+    # INPAINTNET_GRU_UNROLL raises the long-scan factor (see
+    # gru_trainfast._unroll_env for the measured rationale)
+    unroll = in_t.shape[0] if in_t.shape[0] <= 4 else int(
+        os.environ.get("INPAINTNET_GRU_UNROLL", "1")
+    )
     h_last, outs = lax.scan(step, h0, xs, reverse=reverse, unroll=unroll)
     if not want_ys:
         return None, h_last

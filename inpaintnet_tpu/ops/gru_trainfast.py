@@ -57,11 +57,21 @@ def _fwd_scan(reverse, w_ih, w_hh, b_ih, b_hh, x, h0):
         return h_new, (h_new, r, z, n, hn)
 
     # same short-recurrence unroll heuristic as ops/gru.py (the 4-step
-    # beat GRU): XLA fuses unrolled steps where a loop would serialize
-    unroll = xw_t.shape[0] if xw_t.shape[0] <= 4 else 1
+    # beat GRU): XLA fuses unrolled steps where a loop would serialize.
+    # INPAINTNET_TRAINFAST_UNROLL raises the long-scan unroll factor —
+    # the train-step decomposition shows the GRU scans are per-step-
+    # overhead-bound (encoder bwd ~50 ms against ~3 ms of MXU + ~3 ms of
+    # VPU work), which unrolling amortizes.
+    unroll = xw_t.shape[0] if xw_t.shape[0] <= 4 else _unroll_env()
     _, (ys, r, z, n, hn) = lax.scan(step, h0, xw_t, reverse=reverse,
                                     unroll=unroll)
     return ys, (r, z, n, hn)
+
+
+def _unroll_env() -> int:
+    import os
+
+    return int(os.environ.get("INPAINTNET_TRAINFAST_UNROLL", "1"))
 
 
 def _core_fwd(reverse, w_ih, w_hh, b_ih, b_hh, x, h0):
@@ -98,7 +108,7 @@ def _core_bwd(reverse, res, dys):
         bstep, jnp.zeros_like(h0),
         (dys_t, r_t, z_t, n_t, hn_t, hprev_t),
         reverse=not reverse,
-        unroll=seq_len if seq_len <= 4 else 1,
+        unroll=seq_len if seq_len <= 4 else _unroll_env(),
     )
     # batched weight/input grads — large MXU matmuls, outside the scan
     da_f = da_t.reshape(seq_len * batch, 3 * hidden)

@@ -144,6 +144,8 @@ def main():
             ("unroll8", {"INPAINTNET_GRU_UNROLL": "8"}, "xla"),
             ("tf-unroll4", {"INPAINTNET_TRAINFAST_UNROLL": "4"},
              "trainfast"),
+            ("tf-bwdkernel", {"INPAINTNET_TRAINFAST_BWD": "pallas"},
+             "trainfast"),
         ]
         configs = []
         for name, env, gru_impl in setups:

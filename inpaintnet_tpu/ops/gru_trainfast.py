@@ -90,6 +90,21 @@ def _core_bwd(reverse, res, dys):
     else:
         hprev_t = jnp.concatenate([h0[None], ys_t[:-1]], axis=0)
 
+    import os
+
+    if os.environ.get("INPAINTNET_TRAINFAST_BWD", "scan") == "pallas":
+        from inpaintnet_tpu.ops.gru_bwd_pallas import gru_bwd_seq_pallas
+        from inpaintnet_tpu.ops.pallas_common import interpret_default
+
+        if jax.default_backend() == "tpu" or interpret_default():
+            da_t, dhw_t, dh0 = gru_bwd_seq_pallas(
+                w_hh, dys_t, r_t, z_t, n_t, hn_t, hprev_t, reverse=reverse,
+            )
+            return _batched_grads(
+                w_ih, w_hh, x, da_t, dhw_t, dh0, hprev_t, seq_len, batch,
+                hidden,
+            )
+
     def bstep(dh, inp):
         dy, r, z, n, hn, hprev = inp
         g = dy + dh
@@ -110,7 +125,14 @@ def _core_bwd(reverse, res, dys):
         reverse=not reverse,
         unroll=seq_len if seq_len <= 4 else _unroll_env(),
     )
-    # batched weight/input grads — large MXU matmuls, outside the scan
+    return _batched_grads(
+        w_ih, w_hh, x, da_t, dhw_t, dh0, hprev_t, seq_len, batch, hidden
+    )
+
+
+def _batched_grads(w_ih, w_hh, x, da_t, dhw_t, dh0, hprev_t, seq_len,
+                   batch, hidden):
+    """Batched weight/input grads — large MXU matmuls, outside the scan."""
     da_f = da_t.reshape(seq_len * batch, 3 * hidden)
     dhw_f = dhw_t.reshape(seq_len * batch, 3 * hidden)
     x_f = jnp.swapaxes(x, 0, 1).reshape(seq_len * batch, -1)

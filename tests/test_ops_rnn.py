@@ -228,3 +228,57 @@ def test_trainfast_vmap_grad():
     for a, b in zip(jax.tree_util.tree_leaves(g_tf),
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_trainfast_pallas_bwd_matches_scan_bwd(reverse, monkeypatch):
+    """INPAINTNET_TRAINFAST_BWD=pallas: the sequential-backward kernel
+    (interpret mode) reproduces the scan backward's gradients."""
+    from inpaintnet_tpu.ops.gru import gru_cell_init
+    from inpaintnet_tpu.ops.gru_trainfast import gru_layer_trainfast
+
+    B, T, IN, H = 5, 7, 6, 8
+    p = gru_cell_init(jax.random.PRNGKey(0), IN, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (B, H))
+    wy = jax.random.normal(jax.random.PRNGKey(3), (B, T, H))
+    wh = jax.random.normal(jax.random.PRNGKey(4), (B, H))
+
+    def loss(p, x, h0):
+        ys, h_last = gru_layer_trainfast(p, x, h0, reverse=reverse)
+        return jnp.sum(ys * wy) + jnp.sum(h_last * wh)
+
+    g_scan = jax.grad(loss, argnums=(0, 1, 2))(p, x, h0)
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("INPAINTNET_TRAINFAST_BWD", "pallas")
+    g_pal = jax.grad(loss, argnums=(0, 1, 2))(p, x, h0)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainfast_pallas_bwd_vmap_grad(monkeypatch):
+    """The decoder-style vmapped use must still differentiate with the
+    kernel backward selected (pallas_call batching rule)."""
+    from inpaintnet_tpu.ops.gru import gru_cell_init
+    from inpaintnet_tpu.ops.gru_trainfast import gru_layer_trainfast
+
+    G, B, T, IN, H = 3, 4, 5, 6, 8
+    p = gru_cell_init(jax.random.PRNGKey(0), IN, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (G, B, T, IN))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (G, B, H))
+
+    def loss(p):
+        def one(x, h):
+            ys, h_last = gru_layer_trainfast(p, x, h)
+            return jnp.sum(ys ** 2) + jnp.sum(h_last ** 2)
+
+        return jnp.sum(jax.vmap(one)(x, h0))
+
+    g_scan = jax.grad(loss)(p)
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("INPAINTNET_TRAINFAST_BWD", "pallas")
+    g_pal = jax.grad(loss)(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

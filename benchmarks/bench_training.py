@@ -146,6 +146,9 @@ def main():
              "trainfast"),
             ("tf-bwdkernel", {"INPAINTNET_TRAINFAST_BWD": "pallas"},
              "trainfast"),
+            ("tf-fullkernel", {"INPAINTNET_TRAINFAST_FWD": "pallas",
+                               "INPAINTNET_TRAINFAST_BWD": "pallas"},
+             "trainfast"),
         ]
         configs = []
         for name, env, gru_impl in setups:

@@ -71,6 +71,93 @@ def _bwd_seq_kernel(dy_ref, r_ref, z_ref, n_ref, hn_ref, hprev_ref,
         dh0_ref[:] = dh_new.astype(out_dtype)
 
 
+def _fwd_seq_kernel(xw_ref, w_hh_ref, b_hh_ref, h0_ref, ys_ref, r_ref,
+                    z_ref, n_ref, hn_ref, h_scratch, *, num_steps: int,
+                    hidden: int, out_dtype):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = h0_ref[:].astype(jnp.float32)
+
+    h = h_scratch[:]
+    xwt = xw_ref[0].astype(jnp.float32)
+    hw = jnp.dot(
+        h.astype(out_dtype), w_hh_ref[:],
+        preferred_element_type=jnp.float32,
+    ) + b_hh_ref[0].astype(jnp.float32)
+    r = jax.nn.sigmoid(xwt[:, :hidden] + hw[:, :hidden])
+    z = jax.nn.sigmoid(
+        xwt[:, hidden: 2 * hidden] + hw[:, hidden: 2 * hidden]
+    )
+    hn = hw[:, 2 * hidden:]
+    n = jnp.tanh(xwt[:, 2 * hidden:] + r * hn)
+    h_new = (1.0 - z) * n + z * h
+    ys_ref[0] = h_new.astype(out_dtype)
+    r_ref[0] = r.astype(out_dtype)
+    z_ref[0] = z.astype(out_dtype)
+    n_ref[0] = n.astype(out_dtype)
+    hn_ref[0] = hn.astype(out_dtype)
+    h_scratch[:] = h_new
+
+
+def gru_fwd_seq_pallas(w_hh, b_hh, xw, h0, *, reverse: bool = False,
+                       tile_b: int = 256, interpret: bool | None = None):
+    """Forward stream kernel that ALSO emits the gates the trainfast
+    backward consumes: ``(ys_t, r_t, z_t, n_t, hn_t)``, all (T, B, H) in
+    original time order. ``xw = x @ W_ih + b_ih`` stays an XLA matmul.
+    Gate math in f32 with an f32 hidden carry (same as the serving
+    kernels, pallas_common.gru_gates_f32)."""
+    if interpret is None:
+        interpret = interpret_default()
+    return _gru_fwd_seq_pallas(w_hh, b_hh, xw, h0, reverse=bool(reverse),
+                               tile_b=tile_b, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "tile_b", "interpret")
+)
+def _gru_fwd_seq_pallas(w_hh, b_hh, xw, h0, *, reverse: bool, tile_b: int,
+                        interpret: bool):
+    batch, seq_len, three_h = xw.shape
+    hidden = three_h // 3
+    dtype = xw.dtype
+    tile_b = min(tile_b, round_up(batch, 8))
+    padded_b = round_up(batch, tile_b)
+    if padded_b != batch:
+        xw = jnp.pad(xw, ((0, padded_b - batch), (0, 0), (0, 0)))
+        h0 = jnp.pad(h0, ((0, padded_b - batch), (0, 0)))
+    grid = (padded_b // tile_b, seq_len)
+    xw_t = jnp.swapaxes(xw, 0, 1)
+
+    def tmap(i, t):
+        return (seq_len - 1 - t if reverse else t, i, 0)
+
+    const = lambda i, t: (0, 0)  # noqa: E731
+    hblk = pl.BlockSpec((1, tile_b, hidden), tmap, memory_space=pltpu.VMEM)
+    hshape = jax.ShapeDtypeStruct((seq_len, padded_b, hidden), dtype)
+    kernel = functools.partial(
+        _fwd_seq_kernel, num_steps=seq_len, hidden=hidden, out_dtype=dtype,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_b, three_h), tmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, three_h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, hidden), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[hblk] * 5,
+        out_shape=[hshape] * 5,
+        scratch_shapes=[pltpu.VMEM((tile_b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(xw_t, w_hh, b_hh[None, :], h0)
+    return tuple(o[:, :batch] for o in outs)
+
+
 def gru_bwd_seq_pallas(w_hh, dys_t, r_t, z_t, n_t, hn_t, hprev_t, *,
                        reverse: bool = False, tile_b: int = 256,
                        interpret: bool | None = None):

@@ -41,8 +41,19 @@ def _gru_layer_core(reverse, w_ih, w_hh, b_ih, b_hh, x, h0):
 
 
 def _fwd_scan(reverse, w_ih, w_hh, b_ih, b_hh, x, h0):
+    import os
+
     hidden = w_hh.shape[0]
     xw = x @ w_ih + b_ih  # one (B*T, in) x (in, 3H) MXU matmul
+    if os.environ.get("INPAINTNET_TRAINFAST_FWD", "scan") == "pallas":
+        from inpaintnet_tpu.ops.gru_bwd_pallas import gru_fwd_seq_pallas
+        from inpaintnet_tpu.ops.pallas_common import interpret_default
+
+        if jax.default_backend() == "tpu" or interpret_default():
+            ys, r, z, n, hn = gru_fwd_seq_pallas(
+                w_hh, b_hh, xw, h0, reverse=reverse
+            )
+            return ys, (r, z, n, hn)
     xw_t = jnp.swapaxes(xw, 0, 1)  # (T, B, 3H)
 
     def step(h, xwt):

@@ -282,3 +282,33 @@ def test_trainfast_pallas_bwd_vmap_grad(monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(g_pal),
                     jax.tree_util.tree_leaves(g_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_trainfast_pallas_fwd_matches_scan(reverse, monkeypatch):
+    """INPAINTNET_TRAINFAST_FWD=pallas: the gate-emitting forward kernel
+    (interpret mode) reproduces the scan — primal values AND grads (the
+    stored gates feed the backward)."""
+    from inpaintnet_tpu.ops.gru import gru_cell_init
+    from inpaintnet_tpu.ops.gru_trainfast import gru_layer_trainfast
+
+    B, T, IN, H = 5, 7, 6, 8
+    p = gru_cell_init(jax.random.PRNGKey(0), IN, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (B, H))
+    wy = jax.random.normal(jax.random.PRNGKey(3), (B, T, H))
+    wh = jax.random.normal(jax.random.PRNGKey(4), (B, H))
+
+    def loss(p, x, h0):
+        ys, h_last = gru_layer_trainfast(p, x, h0, reverse=reverse)
+        return jnp.sum(ys * wy) + jnp.sum(h_last * wh)
+
+    v_scan, g_scan = jax.value_and_grad(loss, argnums=(0, 1, 2))(p, x, h0)
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("INPAINTNET_TRAINFAST_FWD", "pallas")
+    monkeypatch.setenv("INPAINTNET_TRAINFAST_BWD", "pallas")
+    v_pal, g_pal = jax.value_and_grad(loss, argnums=(0, 1, 2))(p, x, h0)
+    np.testing.assert_allclose(float(v_pal), float(v_scan), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -167,14 +167,19 @@ def main():
                                                None)
                 return [p, o], loss
 
-            loss = None
-            for _ in range(30):  # trace under the env value + ramp-out
-                state, loss = step(state)
-            fetch(loss)
-            configs.append([name, step, state])
-            for k in env:
-                os.environ.pop(k, None)
-            set_gru_impl("xla")
+            try:
+                loss = None
+                for _ in range(30):  # trace under the env value + ramp-out
+                    state, loss = step(state)
+                fetch(loss)
+                configs.append([name, step, state])
+            except Exception as e:  # noqa: BLE001 — report, keep benching
+                print(f"{name:14s} FAILED to compile/run: "
+                      f"{type(e).__name__}: {str(e)[:200]}")
+            finally:
+                for k in env:
+                    os.environ.pop(k, None)
+                set_gru_impl("xla")
         best = {name: float("inf") for name, _, _ in configs}
         iters = 10
         for _ in range(6):

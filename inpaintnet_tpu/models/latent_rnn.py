@@ -239,20 +239,21 @@ class LatentRNN(Model):
         :param future_context: (B, Mf, 24), padded; mask (B, Mf)
         :param target: (B, Mt, 24) ground-truth target (Mt == max_target
             padded) or None at pure inference with ``target_mask`` given
-        :param row_keys: optional (B, 2) per-row PRNG keys for the context
-            rsample (see :meth:`get_z_seq`) — non-autoregressive inference
-            only, where the rsample is the ONLY stochastic op, so each
-            row's output depends on its own key alone regardless of batch
-            composition (the serving coalescing contract)
+        :param row_keys: optional (B, 2) per-row PRNG keys — inference
+            only. Non-autoregressive: the context rsample (the ONLY
+            stochastic op) draws from them (see :meth:`get_z_seq`).
+            Autoregressive: each row's key is split into a context stream
+            and a per-step re-encode stream (argmax decode is
+            deterministic), so EVERY stochastic draw is per-row. Either
+            way a row's output depends on its own key alone regardless of
+            batch composition (the serving coalescing contract).
         :return: (weights (B, Mt, 24, V), samples (B, Mt, 24),
                   gen_z (B, Mt, z))
         """
-        if row_keys is not None and (self.auto_reg or train):
+        if row_keys is not None and train:
             raise ValueError(
-                "row_keys serves non-autoregressive inference only: the "
-                "autoregressive scan re-samples inside its decode->re-encode "
-                "loop and training draws dropout/TF randomness, both from "
-                "the batch-level rng"
+                "row_keys serves inference only: training draws dropout/"
+                "teacher-forcing randomness from the batch-level rng"
             )
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         vae_params = jax.tree_util.tree_map(lax.stop_gradient, vae_params)
@@ -265,6 +266,14 @@ class LatentRNN(Model):
             target_mask = jnp.ones((batch, target.shape[1]))
 
         keys = jax.random.split(rng, 8)
+        # auto_reg + per-row keys: split each row's key into an
+        # independent context-rsample stream and a scan re-encode stream
+        scan_row_keys = None
+        ctx_row_keys = row_keys
+        if row_keys is not None and self.auto_reg:
+            both = jax.vmap(jax.random.split)(row_keys)  # (B, 2, 2)
+            ctx_row_keys = both[:, 0]
+            scan_row_keys = both[:, 1]
         # ONE frozen-encoder pass over all needed segments (concatenated on
         # the measure axis): separate 24-step encoder scans collapse into
         # one with more rows per recurrent matmul; identical distribution
@@ -287,7 +296,7 @@ class LatentRNN(Model):
             segments.append(target)
         z_all = self.get_z_seq(
             vae_params, jnp.concatenate(segments, axis=1), train=train,
-            rng=keys[0], row_keys=row_keys,
+            rng=keys[0], row_keys=ctx_row_keys,
         )
         zp = z_all[:, :max_past]
         zf = z_all[:, max_past : max_past + max_future]
@@ -325,6 +334,7 @@ class LatentRNN(Model):
             lambda: self._generate_autoregressive(
                 params, vae_params, comb_context, target_mask,
                 seed=zp_last, train=train, rng=keys[7],
+                row_keys=scan_row_keys,
             ),
         )
 
@@ -369,14 +379,22 @@ class LatentRNN(Model):
         )
 
     def _generate_autoregressive(
-        self, params, vae_params, context, target_mask, *, seed, train, rng
+        self, params, vae_params, context, target_mask, *, seed, train, rng,
+        row_keys=None,
     ):
         """Sampled decode->re-encode loop (latent_rnn.py:241-260) as a
         ``lax.scan`` over target measures, with the FINAL iteration peeled:
         the last measure's re-encode feeds nothing (there is no next step),
         so the peeled tail skips it — one full frozen-encoder pass saved
         per call, exactness unchanged (the reference's loop computes it
-        too, latent_rnn.py:260, but its result is equally dead)."""
+        too, latent_rnn.py:260, but its result is equally dead).
+
+        :param row_keys: optional (B, 2) per-row keys (inference only) —
+            each step's re-encode rsample draws from a per-(row, step) key
+            instead of the batch-level stream, making row outputs
+            independent of batch composition (the serving coalescing
+            contract; dropout is off and decode is argmax at inference, so
+            the re-encode is the scan's only stochastic op)."""
         batch = context.shape[1]
         max_t = target_mask.shape[1]
         step_keys = jax.random.split(rng, max_t)
@@ -391,17 +409,30 @@ class LatentRNN(Model):
             logits, samples = self._decode_measures(vae_params, z, rng=k_dec)
             return hidden, k_enc, (logits, samples, z)
 
-        def step(carry, key):
+        def step(carry, xs):
+            key, step_rk = xs
             hidden, gen_in = carry
             hidden, k_enc, outs = gen_measure(hidden, gen_in, key)
             next_in = self.get_z_seq(
-                vae_params, outs[1][:, None, :], train=train, rng=k_enc
+                vae_params, outs[1][:, None, :], train=train, rng=k_enc,
+                row_keys=step_rk,
             )
             return (hidden, next_in), outs
 
+        if row_keys is None:
+            # dummy xs so both variants share one step fn; get_z_seq's
+            # row_keys=None path uses the batch-level k_enc stream
+            enc_keys = None
+            xs = (step_keys[:-1], None)
+        else:
+            per_step = jax.vmap(
+                lambda k: jax.random.split(k, max_t)
+            )(row_keys)  # (B, T, 2)
+            enc_keys = jnp.transpose(per_step, (1, 0, 2))  # (T, B, 2)
+            xs = (step_keys[:-1], enc_keys[:-1])
         carry0 = (context, seed)
         (hidden, gen_in), (logits, samples, z_out) = lax.scan(
-            step, carry0, step_keys[:-1]
+            step, carry0, xs
         )
         _, _, (logits_l, samples_l, z_l) = gen_measure(
             hidden, gen_in, step_keys[-1]

@@ -284,7 +284,7 @@ class InpaintingEngine:
                     tokens, start_measure=1, num_measures=1,
                     num_variations=1, seed=0,
                 )
-            if hetero and not self.model.auto_reg:
+            if hetero:
                 self.inpaint_hetero([{
                     "tokens": tokens, "start_measure": 1,
                     "num_measures": 1, "seed": 0,
@@ -400,14 +400,12 @@ class InpaintingEngine:
         :return: list of (b, M, msl) outputs, one per request, each with
             only its span replaced
 
-        Non-autoregressive engines only (the autoregressive scan re-samples
-        from a batch-level key, breaking row independence).
+        Serves BOTH generation configs: non-autoregressive rows draw only
+        the context rsample from their row key; autoregressive rows split
+        their key into context + per-step re-encode streams inside the
+        model (LatentRNN.apply row_keys), so the decode->re-encode scan is
+        equally row-independent.
         """
-        if self.model.auto_reg:
-            raise ValueError(
-                "inpaint_hetero requires the non-autoregressive serving "
-                "config (auto_reg generation draws from a batch-level key)"
-            )
         if not requests:
             return []
         norm = []
@@ -481,8 +479,22 @@ class InpaintingEngine:
         :return: (num_variations, B, M, msl) tokens
         """
         if self.model.auto_reg:
-            # autoregressive generation re-encodes its own samples; fall
-            # back to full passes (per-variation keys via fold_in)
+            # autoregressive generation re-encodes its own samples, so the
+            # cached-posterior trick below doesn't apply. When the tiled
+            # rows fit a bucket, a variations request is EXACTLY an
+            # nvar-tiled hetero request — per-row keys make every tiled
+            # row a distinct draw in ONE device call; otherwise fall back
+            # to full passes (per-variation keys via fold_in)
+            b0 = np.asarray(tokens).shape[0]
+            if num_variations * b0 <= self.batch_buckets[-1]:
+                tiled = np.tile(np.asarray(tokens), (num_variations, 1, 1))
+                out = self.inpaint_hetero([{
+                    "tokens": tiled, "start_measure": start_measure,
+                    "num_measures": num_measures, "seed": seed,
+                }])[0]
+                return out.reshape(
+                    (num_variations, b0) + out.shape[1:]
+                )
             base_key = self._seed_key(seed)
             return np.stack([
                 self.inpaint(tokens, start_measure, num_measures,

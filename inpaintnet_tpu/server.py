@@ -490,11 +490,6 @@ class InpaintingServer:
         self.arnn_engine = arnn_engine
         self.metrics = _Metrics()
         self._lock = threading.Lock()  # engine calls are serialized
-        if batching and engine.model.auto_reg:
-            raise ValueError(
-                "dynamic batching requires the non-autoregressive serving "
-                "config (see InpaintingEngine.inpaint_hetero)"
-            )
         if pin_bucket is not None and pin_bucket not in engine.batch_buckets:
             raise ValueError(
                 f"pin_bucket={pin_bucket} is not one of the engine's "
@@ -604,10 +599,11 @@ class InpaintingServer:
     def _run_inpaint(self, tokens, start: int, num: int, seed):
         """Dispatch one inpaint: through the batcher when enabled (and the
         request fits a single device batch), else a locked engine call.
-        Non-autoregressive requests that fit a bucket ALWAYS go through
-        the hetero per-row-key path, so responses don't depend on the
-        ``batching`` setting; only oversized requests (and autoregressive
-        engines) use the engine's chunked batch-key path."""
+        Requests that fit a bucket ALWAYS go through the hetero
+        per-row-key path (both generation configs — the autoregressive
+        scan threads per-row keys too, LatentRNN.apply row_keys), so
+        responses don't depend on the ``batching`` setting; only
+        oversized requests use the engine's chunked batch-key path."""
         req = {"tokens": tokens, "start_measure": start,
                "num_measures": num, "seed": seed}
         if (self._batcher is not None
@@ -616,8 +612,7 @@ class InpaintingServer:
         cap = (self._pin_bucket if self._pin_bucket is not None
                else self.engine.batch_buckets[-1])
         with self._lock:
-            if (not self.engine.model.auto_reg
-                    and tokens.shape[0] <= cap):
+            if tokens.shape[0] <= cap:
                 return self.engine.inpaint_hetero(
                     [req], bucket=self._pin_bucket
                 )[0]
@@ -664,22 +659,22 @@ class InpaintingServer:
         b = tokens.shape[0]
         cap = (self._pin_bucket if self._pin_bucket is not None
                else e.batch_buckets[-1])
-        if not e.model.auto_reg and nvar * b <= cap:
+        if nvar * b <= cap:
             # a variations request is EXACTLY an inpaint request with
             # nvar-tiled rows: the hetero path's per-row keys
             # (derive_row_keys(seed, nvar*b)) already make every tiled
-            # row a distinct draw, so variations ride the SAME dispatch
-            # (and batcher) as /v1/inpaint — coalescing with any traffic,
-            # bit-exact solo-vs-coalesced, and variation 0 bit-equal to
-            # the seeded /v1/inpaint response (shared key prefix).
+            # row a distinct draw — in BOTH generation configs — so
+            # variations ride the SAME dispatch (and batcher) as
+            # /v1/inpaint: coalescing with any traffic, bit-exact
+            # solo-vs-coalesced, and variation 0 bit-equal to the seeded
+            # /v1/inpaint response (shared key prefix).
             tiled = np.tile(tokens, (nvar, 1, 1))
             out = self._run_inpaint(tiled, start, num, seed)
             out = out.reshape((nvar, b) + tokens.shape[1:])
         else:
-            # oversized (or autoregressive): the engine's bulk path —
-            # encode-once cached-posterior generation (a different RNG
-            # stream from the hetero path; seeded reproducibility holds
-            # per path)
+            # oversized: the engine's bulk path — encode-once
+            # cached-posterior generation (a different RNG stream from
+            # the hetero path; seeded reproducibility holds per path)
             with self._lock:
                 out = e.inpaint_variations(tokens, start, num, nvar,
                                            seed=seed)

@@ -125,6 +125,45 @@ def test_autoreg_sampled_path(vae):
     assert np.asarray(s).max() < V
 
 
+def test_autoreg_row_keys_batch_independent(vae):
+    """Round-4 serving coalescing: with per-row keys, an auto_reg row's
+    output depends on its own key/tokens alone — rows of a coalesced
+    batch bit-equal their solo runs (context rsample AND the scan's
+    per-step re-encode rsample both draw per-row streams)."""
+    m = _model(vae, auto_reg=True, tf=False)
+    past, pm, future, fm, _, tm = _padded_batch()
+    row_keys = jnp.asarray(
+        np.random.RandomState(3).randint(0, 2**32, (B, 2), np.uint64),
+        jnp.uint32,
+    )
+
+    def run(idx):
+        sel = lambda a: a[idx]  # noqa: E731
+        _, s, _ = m.apply(
+            m.params, vae.params, sel(past), sel(future), None,
+            past_mask=sel(pm), future_mask=sel(fm), target_mask=sel(tm),
+            train=False, rng=jax.random.PRNGKey(0),
+            row_keys=row_keys[idx],
+        )
+        return np.asarray(s)
+
+    both = run(np.arange(B))
+    for i in range(B):
+        solo = run(np.asarray([i]))
+        np.testing.assert_array_equal(both[i], solo[0])
+    # deterministic given keys; different keys -> different samples
+    np.testing.assert_array_equal(both, run(np.arange(B)))
+    assert not np.array_equal(both[0], both[1])
+    # training still refuses row_keys
+    with pytest.raises(ValueError, match="inference only"):
+        m.apply(
+            m.params, vae.params, past, future,
+            jnp.zeros((B, MAXT, 24), jnp.int32),
+            past_mask=pm, future_mask=fm, target_mask=tm,
+            train=True, rng=jax.random.PRNGKey(0), row_keys=row_keys,
+        )
+
+
 def test_inference_without_target(vae):
     """Fixes the reference's broken no-target generate path
     (latent_rnn_tester.py:231-236 calls forward without target and crashes

@@ -102,20 +102,64 @@ def test_hetero_deterministic_and_seed_sensitivity(engine):
     np.testing.assert_array_equal(a[2], c[2])
 
 
-def test_hetero_rejects_autoreg_and_oversize(engine):
-    auto = InpaintingEngine(_models(auto_reg=True), batch_buckets=(8,),
-                            dtype="float32")
-    with pytest.raises(ValueError, match="auto"):
-        auto.inpaint_hetero([{
-            "tokens": _toks(1, 16, 0), "start_measure": 2,
-            "num_measures": 1,
-        }])
+def test_hetero_rejects_oversize(engine):
     with pytest.raises(ValueError, match="rows"):
         engine.inpaint_hetero([{
             "tokens": _toks(9, 16, 0), "start_measure": 2,
             "num_measures": 1,
         }])
     assert engine.inpaint_hetero([]) == []
+
+
+@pytest.fixture(scope="module")
+def auto_engine():
+    return InpaintingEngine(_models(auto_reg=True), batch_buckets=(8,),
+                            dtype="float32")
+
+
+def test_hetero_autoreg_solo_equals_coalesced(auto_engine):
+    """Round-4: the autoregressive scan threads per-row keys (context +
+    per-step re-encode streams split from each row's key inside
+    LatentRNN.apply), so auto_reg requests coalesce bit-exactly too."""
+    reqs = _reqs()
+    coalesced = auto_engine.inpaint_hetero(reqs)
+    for req, got in zip(reqs, coalesced):
+        solo = auto_engine.inpaint_hetero([req])[0]
+        np.testing.assert_array_equal(got, solo)
+    # deterministic; span-only edits; seed sensitivity
+    again = auto_engine.inpaint_hetero(reqs)
+    for x, y in zip(coalesced, again):
+        np.testing.assert_array_equal(x, y)
+    for req, out in zip(reqs, coalesced):
+        t, s, n = req["tokens"], req["start_measure"], req["num_measures"]
+        np.testing.assert_array_equal(out[:, :s], t[:, :s])
+        np.testing.assert_array_equal(out[:, s + n:], t[:, s + n:])
+    reqs2 = [dict(r) for r in reqs]
+    reqs2[0]["seed"] = 6
+    c = auto_engine.inpaint_hetero(reqs2)
+    assert not np.array_equal(coalesced[0], c[0])
+    np.testing.assert_array_equal(coalesced[1], c[1])
+
+
+def test_autoreg_variations_via_hetero(auto_engine):
+    """auto_reg inpaint_variations rides ONE hetero call when the tiled
+    rows fit a bucket: distinct draws per variation, deterministic, and
+    variation 0 == the corresponding tiled hetero row."""
+    toks = _toks(2, 16, 3)
+    out = auto_engine.inpaint_variations(toks, 8, 2, num_variations=3,
+                                         seed=11)
+    assert out.shape == (3, 2, 16, 24)
+    assert not np.array_equal(out[0], out[1])
+    again = auto_engine.inpaint_variations(toks, 8, 2, num_variations=3,
+                                           seed=11)
+    np.testing.assert_array_equal(out, again)
+    # equivalent tiled hetero request gives the same rows
+    tiled = np.tile(toks, (3, 1, 1))
+    het = auto_engine.inpaint_hetero([{
+        "tokens": tiled, "start_measure": 8, "num_measures": 2,
+        "seed": 11,
+    }])[0]
+    np.testing.assert_array_equal(out.reshape(6, 16, 24), het)
 
 
 def test_hetero_compilation_cached_separately(engine):
@@ -533,8 +577,41 @@ def test_interpolate_http_and_client(batch_server):
         assert ei.value.status == 400
 
 
-def test_server_rejects_batching_autoreg():
-    engine = InpaintingEngine(_models(auto_reg=True), batch_buckets=(8,),
-                              dtype="float32")
-    with pytest.raises(ValueError, match="non-autoregressive"):
-        InpaintingServer(engine, port=0, batching=True)
+def test_server_batches_autoreg(auto_engine):
+    """Round-4: auto_reg engines coalesce too (per-row keys thread through
+    the autoregressive scan) — concurrent requests through a batching
+    server bit-equal their solo (non-batching) responses."""
+    server = InpaintingServer(auto_engine, port=0, batching=True,
+                              max_wait_ms=40)
+    server.start()
+    try:
+        reqs = _reqs()
+        solo = [auto_engine.inpaint_hetero([r])[0] for r in reqs]
+        outs = [None] * len(reqs)
+
+        def post(i):
+            body = json.dumps({
+                "tokens": reqs[i]["tokens"].tolist(),
+                "start_measure": reqs[i]["start_measure"],
+                "num_measures": reqs[i]["num_measures"],
+                **({"seed": reqs[i]["seed"]} if "seed" in reqs[i] else {}),
+            })
+            conn = http.client.HTTPConnection("127.0.0.1", server.port)
+            conn.request("POST", "/v1/inpaint", body,
+                         {"Content-Type": "application/json"})
+            outs[i] = np.asarray(
+                json.loads(conn.getresponse().read())["tokens"]
+            )
+            conn.close()
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, req in enumerate(reqs):
+            np.testing.assert_array_equal(outs[i], solo[i])
+        assert server._batcher.calls >= 1
+    finally:
+        server.stop()

@@ -46,10 +46,16 @@ from inpaintnet_tpu.ops.linear import xavier_normal
 _GRU_IMPL = os.environ.get("INPAINTNET_GRU_IMPL", "xla")
 
 
+_IMPLS = ("xla", "pallas", "trainfast", "trainfast_pallas")
+
+
 def set_gru_impl(impl: str):
     global _GRU_IMPL
-    assert impl in ("xla", "pallas", "trainfast")
+    assert impl in _IMPLS
     _GRU_IMPL = impl
+    from inpaintnet_tpu.ops import gru_trainfast
+
+    gru_trainfast.FORCE_KERNELS = impl == "trainfast_pallas"
 
 
 def get_gru_impl() -> str:
@@ -62,21 +68,31 @@ import contextlib as _contextlib
 @_contextlib.contextmanager
 def gru_impl_scope(impl: str | None):
     """Scoped recurrence-impl override (trace-time Python state, like
-    ``ops.quantize.serving_quant``): trainers wrap their loss with
-    ``gru_impl_scope("trainfast")`` so the selection applies to the
-    training trace only, leaving serving/eval traces untouched. ``None``
-    is a no-op scope."""
+    ``ops.quantize.serving_quant``): trainers wrap their loss AND
+    value_and_grad with ``gru_impl_scope("trainfast")`` so the selection
+    applies to the training trace only, leaving serving/eval traces
+    untouched. ``"trainfast_pallas"`` additionally forces the Pallas
+    forward-stream + sequential-backward kernels
+    (ops/gru_trainfast.FORCE_KERNELS) — the scope must surround the
+    BACKWARD tracing too (``jax.value_and_grad`` call, not just the loss
+    body), because custom-VJP bwd rules trace when the cotangent pass is
+    built. ``None`` is a no-op scope."""
     global _GRU_IMPL
     if impl is None:
         yield
         return
-    assert impl in ("xla", "pallas", "trainfast")
+    assert impl in _IMPLS
+    from inpaintnet_tpu.ops import gru_trainfast
+
     old = _GRU_IMPL
+    old_force = gru_trainfast.FORCE_KERNELS
     _GRU_IMPL = impl
+    gru_trainfast.FORCE_KERNELS = impl == "trainfast_pallas"
     try:
         yield
     finally:
         _GRU_IMPL = old
+        gru_trainfast.FORCE_KERNELS = old_force
 
 
 def gru_cell_init(key, input_size: int, hidden_size: int, dtype=jnp.float32):
@@ -133,7 +149,7 @@ def gru_layer_apply(params, x, h0, *, reverse: bool = False, mask=None,
     :return: (outputs (B, T, H) or None, h_last (B, H))
     """
     impl_r = impl or _GRU_IMPL
-    if impl_r == "trainfast" and mask is None:
+    if impl_r in ("trainfast", "trainfast_pallas") and mask is None:
         # minimal-residual custom-VJP route (ops/gru_trainfast.py):
         # deliberately NOT checkpoint-wrapped — storing the 4H/step gate
         # residuals instead of recomputing the forward is its whole point.
@@ -142,7 +158,7 @@ def gru_layer_apply(params, x, h0, *, reverse: bool = False, mask=None,
 
         ys, h_last = gru_layer_trainfast(params, x, h0, reverse=reverse)
         return (ys if want_ys else None, h_last)
-    if impl_r == "trainfast":
+    if impl_r in ("trainfast", "trainfast_pallas"):
         impl_r = "xla"
     fn = _gru_layer_fwd if mask is not None else _gru_layer_fwd_nomask
     if mask is not None:

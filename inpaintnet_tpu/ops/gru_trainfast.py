@@ -32,6 +32,21 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Trace-time switch set by ``ops.gru.gru_impl_scope("trainfast_pallas")``
+# (and restored on scope exit): routes BOTH the forward gate-emitting
+# stream and the sequential backward through the Pallas kernels
+# (ops/gru_bwd_pallas.py) regardless of the INPAINTNET_TRAINFAST_* env
+# knobs. The kernels still self-gate to TPU/interpret backends.
+FORCE_KERNELS = False
+
+
+def _kernels_on(which: str) -> bool:
+    import os
+
+    return FORCE_KERNELS or os.environ.get(
+        f"INPAINTNET_TRAINFAST_{which}", "scan"
+    ) == "pallas"
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gru_layer_core(reverse, w_ih, w_hh, b_ih, b_hh, x, h0):
@@ -41,11 +56,9 @@ def _gru_layer_core(reverse, w_ih, w_hh, b_ih, b_hh, x, h0):
 
 
 def _fwd_scan(reverse, w_ih, w_hh, b_ih, b_hh, x, h0):
-    import os
-
     hidden = w_hh.shape[0]
     xw = x @ w_ih + b_ih  # one (B*T, in) x (in, 3H) MXU matmul
-    if os.environ.get("INPAINTNET_TRAINFAST_FWD", "scan") == "pallas":
+    if _kernels_on("FWD"):
         from inpaintnet_tpu.ops.gru_bwd_pallas import gru_fwd_seq_pallas
         from inpaintnet_tpu.ops.pallas_common import interpret_default
 
@@ -101,9 +114,7 @@ def _core_bwd(reverse, res, dys):
     else:
         hprev_t = jnp.concatenate([h0[None], ys_t[:-1]], axis=0)
 
-    import os
-
-    if os.environ.get("INPAINTNET_TRAINFAST_BWD", "scan") == "pallas":
+    if _kernels_on("BWD"):
         from inpaintnet_tpu.ops.gru_bwd_pallas import gru_bwd_seq_pallas
         from inpaintnet_tpu.ops.pallas_common import interpret_default
 

@@ -107,12 +107,14 @@ class Trainer(ABC):
         # Adam state stay fp32 — ~2-4x MXU throughput, no loss scaling
         # needed for bf16
         self.compute_dtype = compute_dtype
-        # training-forward recurrence impl (gru_impl_scope in the loss):
-        # None = global default. INPAINTNET_TRAIN_GRU_IMPL overrides; the
-        # adoption default is decided by the bench_training vaek A/B.
+        # training-forward recurrence impl (gru_impl_scope around the
+        # loss + value_and_grad): None = global default.
+        # INPAINTNET_TRAIN_GRU_IMPL overrides ("xla" to opt out); else
+        # each trainer family picks its measured winner
+        # (default_train_gru_impl) — decided by the bench_training A/B.
         self.train_gru_impl = os.environ.get(
             "INPAINTNET_TRAIN_GRU_IMPL"
-        ) or None
+        ) or self.default_train_gru_impl()
         self.optimizer = optax.adam(lr)
         self.early_stopping = bool(early_stopping)
         if early_stopping:
@@ -144,6 +146,12 @@ class Trainer(ABC):
 
     def update_scheduler(self, epoch_num: int):
         """LR schedule hook (no-op like reference vae_trainer.py:57-63)."""
+
+    def default_train_gru_impl(self):
+        """Per-family training-recurrence default (override; None = the
+        global default scan). Decided by the measured bench_training A/B
+        at each family's flagship shape — see docs/PERFORMANCE.md."""
+        return None
 
     def trainable_params(self, params):
         """Override to exclude frozen sub-trees from optimization."""
@@ -218,22 +226,25 @@ class Trainer(ABC):
             extra = maybe_cast(extra) if extra is not None else None
 
             def loss_fn(tp):
-                from inpaintnet_tpu.ops.gru import gru_impl_scope
-
                 full = maybe_cast(self.merge_params(params, tp))
-                # scoped trace-time recurrence selection: the TRAINING
-                # forward/backward uses self.train_gru_impl (e.g. the
-                # minimal-residual "trainfast" VJP, ops/gru_trainfast.py)
-                # while eval/serving traces keep the global default
-                with gru_impl_scope(self.train_gru_impl):
-                    loss, metrics = self.loss_and_metrics(
-                        full, batch_data, rng, True, extra
-                    )
+                loss, metrics = self.loss_and_metrics(
+                    full, batch_data, rng, True, extra
+                )
                 return loss, metrics
 
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                trainable
-            )
+            from inpaintnet_tpu.ops.gru import gru_impl_scope
+
+            # scoped trace-time recurrence selection: the TRAINING
+            # forward/backward uses self.train_gru_impl (e.g. the
+            # minimal-residual "trainfast" VJP, ops/gru_trainfast.py)
+            # while eval/serving traces keep the global default. The
+            # scope wraps value_and_grad — custom-VJP BACKWARD rules
+            # trace when the cotangent pass is built, after the loss
+            # body returns, so a loss-body-only scope would miss them
+            with gru_impl_scope(self.train_gru_impl):
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(trainable)
             updates, opt_state = optimizer.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             return self.merge_params(params, trainable), opt_state, loss, metrics

@@ -18,6 +18,20 @@ class VAETrainer(Trainer):
         self.beta = beta
         super().__init__(dataset, model, lr, **kw)
 
+    def default_train_gru_impl(self):
+        """On TPU: the trainfast custom-VJP layer with BOTH Pallas
+        kernels (gate-emitting forward stream + sequential-backward) —
+        measured 1.19x the default checkpointed scan at the flagship
+        4096-row step (103.9 -> 87.1 ms/step bf16, docs/PERFORMANCE.md
+        round-4 "Training recurrence A/B"). VAE training always runs
+        n_bars measure-rows per window, so even modest window batches
+        land in the kernels' large-row regime. Opt out with
+        INPAINTNET_TRAIN_GRU_IMPL=xla."""
+        import jax
+
+        return ("trainfast_pallas"
+                if jax.default_backend() == "tpu" else None)
+
     def process_batch_data(self, batch):
         """(B, 1, n_bars*24) -> (B * n_bars, 24) per-measure batch
         (vae_trainer.py:42-55)."""

@@ -312,3 +312,42 @@ def test_trainfast_pallas_fwd_matches_scan(reverse, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(g_pal),
                     jax.tree_util.tree_leaves(g_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainfast_pallas_scope_forces_both_kernels(monkeypatch):
+    """gru_impl_scope("trainfast_pallas") routes BOTH kernels without the
+    INPAINTNET_TRAINFAST_* env knobs, covers the custom-VJP backward
+    tracing (the scope wraps value_and_grad), and restores state."""
+    from inpaintnet_tpu.ops import gru_trainfast
+    from inpaintnet_tpu.ops.gru import gru_apply, gru_impl_scope, gru_init
+
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("INPAINTNET_TRAINFAST_FWD", raising=False)
+    monkeypatch.delenv("INPAINTNET_TRAINFAST_BWD", raising=False)
+
+    B, T, IN, H = 4, 6, 5, 8
+    params = gru_init(jax.random.PRNGKey(0), IN, H, 2, True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, IN))
+
+    def loss(params, x):
+        out, h_n = gru_apply(params, x, train=True, dropout=0.0)
+        return jnp.sum(out ** 2) + jnp.sum(h_n ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+    seen = {}
+    orig = gru_trainfast._kernels_on
+
+    def spy(which):
+        got = orig(which)
+        seen[which] = got
+        return got
+
+    monkeypatch.setattr(gru_trainfast, "_kernels_on", spy)
+    with gru_impl_scope("trainfast_pallas"):
+        v_k, g_k = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+    assert seen == {"FWD": True, "BWD": True}
+    assert gru_trainfast.FORCE_KERNELS is False  # restored
+    np.testing.assert_allclose(float(v_k), float(v_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -362,3 +362,37 @@ def test_vae_train_step_trainfast_matches_default(env, monkeypatch):
     np.testing.assert_allclose(l_tf, l_ref, rtol=1e-6)
     for a, b in zip(p_tf, p_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_vae_train_step_trainfast_pallas_matches_default(env, monkeypatch):
+    """The adopted TPU default (trainfast + both Pallas kernels, forced by
+    the "trainfast_pallas" scope — no env knobs) reproduces the default
+    train step in interpret mode. On TPU this impl is the VAETrainer
+    default (default_train_gru_impl); on CPU it must be opted into."""
+    ds, ckpt = env
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("INPAINTNET_TRAINFAST_FWD", raising=False)
+    monkeypatch.delenv("INPAINTNET_TRAINFAST_BWD", raising=False)
+
+    def one_step(impl):
+        if impl:
+            monkeypatch.setenv("INPAINTNET_TRAIN_GRU_IMPL", impl)
+        else:
+            monkeypatch.delenv("INPAINTNET_TRAIN_GRU_IMPL", raising=False)
+        model = _tiny_vae(ds, ckpt)
+        model.init(jax.random.PRNGKey(3))
+        trainer = VAETrainer(ds, model, lr=3e-3)
+        trainer._build_steps()
+        score = np.asarray(ds.arrays[0][:4])
+        bd = trainer.process_batch_data((score, None))
+        params, _, loss, _ = trainer._train_step(
+            trainer.model.params, trainer.opt_state, bd,
+            jax.random.PRNGKey(5), None,
+        )
+        return float(loss), jax.tree_util.tree_leaves(params)
+
+    l_ref, p_ref = one_step(None)
+    l_k, p_k = one_step("trainfast_pallas")
+    np.testing.assert_allclose(l_k, l_ref, rtol=1e-5)
+    for a, b in zip(p_k, p_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

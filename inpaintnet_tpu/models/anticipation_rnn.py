@@ -156,12 +156,22 @@ class ConstraintModelGaussianReg(Model):
             )
         return m
 
-    def output_lstm_constraints(self, params, embedded_metadata, *, train, rng):
-        """Reversed-sequence constraint LSTM (reference :455-475)."""
+    def output_lstm_constraints(self, params, embedded_metadata, *, train,
+                                rng, tick_mask=None):
+        """Reversed-sequence constraint LSTM (reference :455-475).
+
+        :param tick_mask: optional (B, T) validity mask (1 = real tick;
+            padding is a SUFFIX). The reversed scan visits the padded
+            suffix FIRST with zero state and HOLDS it there, so each
+            row's constraint hiddens at its valid ticks equal the
+            unpadded run's exactly — one compilation serves every
+            sequence length up to T (mixed-length serving coalescing,
+            serve_arnn.ARNNServingEngine)."""
         rev = embedded_metadata[:, ::-1, :]
+        rev_mask = None if tick_mask is None else tick_mask[:, ::-1]
         out, _, all_hs = lstm_stack_apply(
             params["lstm_constraint"], rev,
-            dropout=self.dropout_prob, rng=rng, train=train,
+            dropout=self.dropout_prob, rng=rng, train=train, mask=rev_mask,
         )
         return out[:, ::-1, :], all_hs
 
@@ -223,12 +233,19 @@ class ConstraintModelGaussianReg(Model):
         train: bool = False,
         rng=None,
         row_keys=None,
+        tick_mask=None,
     ):
         """Autoregressive decode as ONE scan over ticks (replaces reference
         per-tick Python loops :190-259, :261-346, :570-679).
 
         :param force_mask: (B, T) 1 where the *input token* at that position
             is forced to ground truth (inpainting contexts). None = never.
+        :param tick_mask: optional (B, T) per-row validity mask for
+            suffix-padded rows (see :meth:`output_lstm_constraints`).
+            Only the REVERSED constraint scan needs it — the generation
+            scan runs forward, so a row's valid prefix never depends on
+            its padded tail; tail outputs are garbage the serving layer
+            trims.
         :param temperature: if set, sample categorically from
             logits * temperature (reference ``generate`` :661-668 multiplies);
             else argmax. A scalar, or a (B,) per-row vector (serving
@@ -247,7 +264,9 @@ class ConstraintModelGaussianReg(Model):
         r_c, r_scan = jax.random.split(rng)
         batch, T = score.shape
         m = self.embed_metadata(params, metadata, score, constraints_loc)
-        constraint_out, _ = self.output_lstm_constraints(params, m, train=train, rng=r_c)
+        constraint_out, _ = self.output_lstm_constraints(
+            params, m, train=train, rng=r_c, tick_mask=tick_mask
+        )
 
         if force_mask is None:
             force_mask = jnp.zeros((batch, T), dtype=jnp.int32)
@@ -387,35 +406,40 @@ class ConstraintModelGaussianReg(Model):
         )
 
     def apply_inpaint(
-        self, params, score, metadata, constraints_loc, *, train=False, rng=None
+        self, params, score, metadata, constraints_loc, *, train=False,
+        rng=None, tick_mask=None,
     ):
         """Inpainting decode (reference ``forward_inpaint`` :261-346): ticks
         where ``constraints_loc == 1`` feed ground truth; the masked span is
         generated autoregressively. Burn-in over the past is subsumed by the
         same scan.
 
+        :param tick_mask: optional (B, T) per-row validity mask for
+            suffix-padded rows (see :meth:`forward_sampled`)
         :return: (logits (B, T, V), gen tokens (B, T))
         """
         return self.forward_sampled(
             params, score, metadata, constraints_loc,
             force_mask=constraints_loc, train=train, rng=rng,
+            tick_mask=tick_mask,
         )
 
     def generate(
         self, params, score, metadata, constraints_loc, *, temperature=1.0,
-        rng=None, row_keys=None,
+        rng=None, row_keys=None, tick_mask=None,
     ):
         """Temperature sampling over the full sequence (reference
         ``generate`` :570-679; constraints flow through the unary-constraint
         channel, context ticks are forced like ``forward_inpaint``).
 
-        ``temperature`` may be a (B,) per-row vector and ``row_keys`` a
-        (B, 2) per-row key array (see :meth:`forward_sampled`) — the
-        serving layer's coalescing contract."""
+        ``temperature`` may be a (B,) per-row vector, ``row_keys`` a
+        (B, 2) per-row key array, and ``tick_mask`` a (B, T) per-row
+        validity mask (see :meth:`forward_sampled`) — the serving
+        layer's coalescing contract."""
         logits, tokens = self.forward_sampled(
             params, score, metadata, constraints_loc,
             force_mask=constraints_loc, temperature=temperature,
-            train=False, rng=rng, row_keys=row_keys,
+            train=False, rng=rng, row_keys=row_keys, tick_mask=tick_mask,
         )
         return logits, tokens
 

@@ -49,21 +49,40 @@ def lstm_cell_apply(params, hc, x):
     return _lstm_gates(params, h, c, xw)
 
 
-def lstm_layer_apply(params, x, h0, c0, *, reverse: bool = False):
+def lstm_layer_apply(params, x, h0, c0, *, reverse: bool = False,
+                     mask=None):
     """Single LSTM layer over a sequence.
 
     :param x: (B, T, in); h0, c0: (B, H)
+    :param mask: optional (B, T) validity mask (1 = real tick). Masked
+        steps HOLD the (h, c) state, so a sequence padded at either end
+        produces exactly the state trajectory of its unpadded run — the
+        static-shape serving contract (mixed-length ARNN coalescing:
+        suffix padding + the reversed constraint scan skips the pad
+        before any real tick is reached).
     :return: (outputs (B, T, H), (h_last, c_last))
     """
     xw = x @ params["w_ih"] + params["b_ih"]
     xw_t = jnp.swapaxes(xw, 0, 1)
+    mask_t = None if mask is None else jnp.swapaxes(
+        mask.astype(x.dtype), 0, 1
+    )
 
-    def step(carry, xwt):
+    def step(carry, inp):
         h, c = carry
+        if mask_t is None:
+            xwt = inp
+        else:
+            xwt, m = inp
         h_new, c_new = _lstm_gates(params, h, c, xwt)
+        if mask_t is not None:
+            keep = m[:, None] > 0
+            h_new = jnp.where(keep, h_new, h)
+            c_new = jnp.where(keep, c_new, c)
         return (h_new, c_new), h_new
 
-    (h_last, c_last), outs = lax.scan(step, (h0, c0), xw_t, reverse=reverse)
+    xs = xw_t if mask_t is None else (xw_t, mask_t)
+    (h_last, c_last), outs = lax.scan(step, (h0, c0), xs, reverse=reverse)
     return jnp.swapaxes(outs, 0, 1), (h_last, c_last)
 
 
@@ -83,6 +102,7 @@ def lstm_stack_apply(
     dropout: float = 0.0,
     rng=None,
     train: bool = False,
+    mask=None,
 ):
     """Run a stack of LSTM layers over a sequence.
 
@@ -90,6 +110,8 @@ def lstm_stack_apply(
     to each layer's output except the last.
 
     :param hidden: ((L, B, H), (L, B, H)) or None for zeros
+    :param mask: optional (B, T) validity mask threaded to every layer
+        (see :func:`lstm_layer_apply`)
     :return: (outputs (B, T, H), (h_n (L,B,H), c_n (L,B,H)),
               all_hs list of per-layer outputs)
     """
@@ -105,7 +127,9 @@ def lstm_stack_apply(
     out = x
     h_n, c_n, all_hs = [], [], []
     for layer in range(num_layers):
-        out, (h_last, c_last) = lstm_layer_apply(params[layer], out, h0[layer], c0[layer])
+        out, (h_last, c_last) = lstm_layer_apply(
+            params[layer], out, h0[layer], c0[layer], mask=mask
+        )
         if train and dropout > 0.0 and layer < num_layers - 1:
             if rng is None:
                 raise ValueError("dropout requires an rng key in train mode")

@@ -511,14 +511,18 @@ class InpaintingServer:
         # (per-row temperature + per-row (seed, row)-derived keys, so a
         # response never depends on its co-travellers; bit-exact vs solo
         # at a given bucket, and pin_bucket passes through for
-        # bit-identity under any load). Grouped by (measure count,
-        # decode kind): programs are per-length, and argmax/sampled are
-        # different programs (serve_arnn.inpaint_hetero).
+        # bit-identity under any load). Grouped by (measure BUCKET,
+        # decode kind): mixed-length requests within a measure bucket
+        # share one program (per-row tick masks keep the padding exact),
+        # and argmax/sampled are different programs
+        # (serve_arnn.inpaint_hetero).
         self._arnn_batcher = (
             _Batcher(arnn_engine, self._lock, max_wait_ms=max_wait_ms,
                      metrics=self.metrics, pin_bucket=pin_bucket,
-                     group_key=lambda req: (req["tokens"].shape[1],
-                                            "temperature" in req),
+                     group_key=lambda req: (
+                         arnn_engine.length_bucket(req["tokens"].shape[1]),
+                         "temperature" in req,
+                     ),
                      dispatch=lambda reqs: arnn_engine.inpaint_hetero(
                          reqs, bucket=pin_bucket))
             if batching and arnn_engine is not None else None
@@ -570,6 +574,7 @@ class InpaintingServer:
                 "model": type(self.arnn_engine.model).__name__,
                 "batch_buckets": list(self.arnn_engine.batch_buckets),
                 "max_measures": self.arnn_engine.max_measures,
+                "measure_buckets": list(self.arnn_engine.measure_buckets),
             }
         return out
 

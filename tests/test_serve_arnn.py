@@ -113,24 +113,76 @@ def test_arnn_oversized_batch_chunks(engine):
 
 def test_arnn_inpaint_hetero(engine):
     """Coalesced argmax requests (the ARNN batcher's primitive): bit-
-    exact vs solo (no RNG anywhere in the argmax decode), same-length
-    only, per-request spans."""
+    exact vs solo (no RNG anywhere in the argmax decode), MIXED lengths
+    within a measure bucket (round 4 — per-row tick masks make the
+    suffix padding exact), per-request spans."""
     reqs = [
         {"tokens": _toks(2, 8, 20), "start_measure": 3, "num_measures": 2},
         {"tokens": _toks(1, 8, 21), "start_measure": 5, "num_measures": 1},
+        # 6 measures pads to the 8-bucket and coalesces with the others
+        {"tokens": _toks(1, 6, 22), "start_measure": 2, "num_measures": 1},
     ]
     outs = engine.inpaint_hetero(reqs)
     for req, out in zip(reqs, outs):
+        assert out.shape == req["tokens"].shape
         solo = engine.inpaint(req["tokens"], req["start_measure"],
                               req["num_measures"])
         np.testing.assert_array_equal(out, solo)
-    with pytest.raises(ValueError, match="measure count"):
+    # lengths spanning DIFFERENT measure buckets still refuse (the
+    # server's batcher groups by bucket, so it never builds such a set)
+    with pytest.raises(ValueError, match="measure bucket"):
         engine.inpaint_hetero([
             reqs[0],
-            {"tokens": _toks(1, 6, 22), "start_measure": 2,
+            {"tokens": _toks(1, 3, 23), "start_measure": 1,
              "num_measures": 1},
         ])
     assert engine.inpaint_hetero([]) == []
+
+
+def test_arnn_padded_equals_exact_length(engine):
+    """THE mixed-length contract at the model level: a request padded to
+    its measure bucket decodes exactly as an unpadded run of the same
+    ticks — the masked reversed constraint scan holds zero state across
+    the padded suffix, so every valid tick's constraint hidden (and thus
+    the argmax decode) is unchanged."""
+    import jax.numpy as jnp
+
+    m = engine.model
+    toks = _toks(2, 6, 30)
+    total, pad_total = 6 * 24, 8 * 24
+    md6 = np.asarray(engine._metadata(total))
+    md8 = np.asarray(engine._metadata(pad_total))
+    # metadata is positional: the 8-bucket metadata's prefix IS the
+    # 6-measure metadata (the padding-prefix property the engine relies on)
+    np.testing.assert_array_equal(md8[:total], md6)
+    score6 = jnp.asarray(toks.reshape(2, total))
+    score8 = jnp.concatenate(
+        [score6, jnp.zeros((2, pad_total - total), jnp.int32)], axis=1
+    )
+    tick = np.arange(pad_total)
+    loc6 = ((tick[:total] < 2 * 24) | (tick[:total] >= 4 * 24))[None]
+    loc8 = ((tick < 2 * 24) | (tick >= 4 * 24))[None]
+    mask8 = (tick < total)[None]
+    b6 = jnp.broadcast_to(jnp.asarray(md6)[None], (2,) + md6.shape)
+    b8 = jnp.broadcast_to(jnp.asarray(md8)[None], (2,) + md8.shape)
+    logits6, tokens6 = m.apply_inpaint(
+        m.params, score6, b6, jnp.asarray(loc6.astype(np.int32)),
+        train=False, rng=jax.random.PRNGKey(0),
+    )
+    logits8, tokens8 = m.apply_inpaint(
+        m.params, score8, b8, jnp.asarray(loc8.astype(np.int32)),
+        train=False, rng=jax.random.PRNGKey(0),
+        tick_mask=jnp.broadcast_to(
+            jnp.asarray(mask8.astype(np.int32)), (2, pad_total)
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits8)[:, :total], np.asarray(logits6),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tokens8)[:, :total], np.asarray(tokens6)
+    )
 
 
 def test_arnn_sampled_hetero(engine):

@@ -187,7 +187,12 @@ def phase_report():
                       dropout=0.5, auto_reg=False)
     model.init(jax.random.PRNGKey(1))
     model.load()
-    out = os.path.join(REPO, "docs", "artifacts", "full_schedule.html")
+    name = os.environ.get(
+        "FULLRUN_REPORT_NAME",
+        "full_schedule.html" if STYLE == "uniform"
+        else f"full_schedule_{STYLE}.html",
+    )
+    out = os.path.join(REPO, "docs", "artifacts", name)
     path = build_report(
         vae_tester=VAETester(test_ds, vae),
         latent_tester=LatentRNNTester(test_ds, model),

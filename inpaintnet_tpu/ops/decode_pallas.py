@@ -360,21 +360,26 @@ def _decode_sampling_pallas(params, tick_ctx, h_inits, *, tile_b: int,
 # int8 x int8 -> int32 (see ops/quantize.py for the scheme and measured MXU
 # rates). Unlike the encoder, the tick-GRU hidden is NOT tanh-bounded: the
 # per-beat init hiddens are selu(linear) outputs (decoder.py:392-410), so
-# the hidden scale is data-dependent: bound = max(1, max|h_init|) computed
-# per call, h quantized at 127/bound (GRU updates are convex combinations
-# of a tanh candidate and h_prev, so the bound holds for every tick), and
-# bound/127 folded into the weight dequant scales. The quantization factor
-# reaches the kernel through SMEM.
+# the hidden scale is data-dependent. The bound is PER ROW:
+# ``bound[r] = max(1, max|h_inits[r]|)`` — never over the batch — so a
+# row's quantization (and therefore its tokens) depends only on that row's
+# own inputs, making solo-vs-coalesced bit-equality STRUCTURAL for serving
+# (tests/test_serve_batching.py asserts it, including an adversarial
+# extreme-|h_init| co-batch). h is quantized at ``q[r] = 127/bound[r]``
+# (GRU updates are convex combinations of a tanh candidate and h_prev, so
+# the bound holds for every tick); the per-row dequant ``1/q[r]`` is
+# applied inside the kernel next to the per-column weight scales.
 
-def _decode_kernel_int8(qscale_ref,
-                        ctx_xw_ref, hi0_ref, hi1_ref, tok_tab_ref, x0_xw_ref,
+def _decode_kernel_int8(ctx_xw_ref, q_ref, hi0_ref, hi1_ref,
+                        tok_tab_ref, x0_xw_ref,
                         whh0_ref, wih1_ref, whh1_ref, scales_ref, bias_ref,
                         head_w_ref, head_s_ref, head_b_ref,
                         logits_ref, samples_ref,
                         h0_s, h1_s, prev_xw_s,
                         *, hidden: int, vocab: int, vocab_pad: int, out_dtype):
     t = pl.program_id(1)
-    q = qscale_ref[0]  # 127 / bound
+    q = q_ref[:]  # (tile_b, 1) f32, 127 / bound per row
+    dq = 1.0 / q  # bound / 127 per row
 
     @pl.when(t == 0)
     def _():
@@ -389,11 +394,11 @@ def _decode_kernel_int8(qscale_ref,
     h0_q = jnp.where(reset, hi0_ref[0], h0_s[:])
     h1_q = jnp.where(reset, hi1_ref[0], h1_s[:])
 
-    # layer 0
+    # layer 0 (per-row dq rides next to the per-column weight scale)
     xw0 = prev_xw_s[:].astype(jnp.float32) + ctx_xw_ref[0].astype(jnp.float32)
     hw0 = (
         jnp.dot(h0_q, whh0_ref[:], preferred_element_type=jnp.int32)
-        .astype(jnp.float32) * scales_ref[0]
+        .astype(jnp.float32) * scales_ref[0] * dq
         + bias_ref[0].astype(jnp.float32)
     )
     h0 = dequantize_h(h0_q, q)
@@ -403,12 +408,12 @@ def _decode_kernel_int8(qscale_ref,
     # layer 1
     xw1 = (
         jnp.dot(h0_new_q, wih1_ref[:], preferred_element_type=jnp.int32)
-        .astype(jnp.float32) * scales_ref[1]
+        .astype(jnp.float32) * scales_ref[1] * dq
         + bias_ref[1].astype(jnp.float32)
     )
     hw1 = (
         jnp.dot(h1_q, whh1_ref[:], preferred_element_type=jnp.int32)
-        .astype(jnp.float32) * scales_ref[2]
+        .astype(jnp.float32) * scales_ref[2] * dq
         + bias_ref[2].astype(jnp.float32)
     )
     h1 = dequantize_h(h1_q, q)
@@ -418,7 +423,7 @@ def _decode_kernel_int8(qscale_ref,
     # ReLU head + first-index argmax on the dequantized logits
     logits = (
         jnp.dot(h1_new_q, head_w_ref[:], preferred_element_type=jnp.int32)
-        .astype(jnp.float32) * head_s_ref[0]
+        .astype(jnp.float32) * head_s_ref[0] * dq
     )
     logits = jax.nn.relu(logits + head_b_ref[0].astype(jnp.float32))
     col = lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -466,10 +471,12 @@ def _decode_sampling_pallas_int8(params, tick_ctx, h_inits, *, tile_b: int,
     vocab, E = emb_table.shape
     vocab_pad = round_up(vocab, 128)
 
-    # data-dependent hidden bound (selu init hiddens are unbounded above)
-    bound = jnp.maximum(1.0, jnp.max(jnp.abs(h_inits.astype(jnp.float32))))
-    qscale = (127.0 / bound)[None]  # (1,) f32 -> SMEM
-    h_dq = bound / 127.0
+    # data-dependent hidden bound (selu init hiddens are unbounded above),
+    # PER ROW so co-batched rows cannot perturb each other's quant scales
+    bound = jnp.maximum(
+        1.0, jnp.max(jnp.abs(h_inits.astype(jnp.float32)), axis=(0, 2, 3))
+    )  # (B,)
+    q_rows = (127.0 / bound)[:, None]  # (B, 1) f32 -> per-row VMEM block
 
     tok_tab_f = emb_table.astype(jnp.float32) @ p0["w_ih"].astype(jnp.float32)[:E]
     tok_tab_q, s_tok = quantize_cols_int8(tok_tab_f)
@@ -479,16 +486,16 @@ def _decode_sampling_pallas_int8(params, tick_ctx, h_inits, *, tile_b: int,
     whh1q, s_whh1 = quantize_cols_int8(p1["w_hh"])
     headq, s_head = quantize_cols_int8(params["head"]["w"])
     headq = jnp.pad(headq, ((0, 0), (0, vocab_pad - vocab)))
-    head_s = jnp.pad(s_head[0] * h_dq, (0, vocab_pad - vocab))[None, :]
+    # per-row h dequant happens in-kernel; scales here are column-only
+    head_s = jnp.pad(s_head[0], (0, vocab_pad - vocab))[None, :]
     head_b = jnp.pad(params["head"]["b"], (0, vocab_pad - vocab))[None, :]
-    scales = jnp.stack([s_whh0[0] * h_dq, s_wih1[0] * h_dq,
-                        s_whh1[0] * h_dq, s_tok[0]])  # (4, 3H)
+    scales = jnp.stack([s_whh0[0], s_wih1[0], s_whh1[0], s_tok[0]])  # (4, 3H)
 
     x0_xw = (params["x_0"] @ p0["w_ih"][:E])[None, :]
     ctx_xw = jnp.swapaxes(tick_ctx @ p0["w_ih"][E:] + p0["b_ih"], 0, 1)
-    # pre-quantize the per-beat init hiddens at the carry's scale
-    hi0 = quantize_h_int8(jnp.swapaxes(h_inits[0], 0, 1), qscale[0])
-    hi1 = quantize_h_int8(jnp.swapaxes(h_inits[1], 0, 1), qscale[0])
+    # pre-quantize the per-beat init hiddens at each row's carry scale
+    hi0 = quantize_h_int8(jnp.swapaxes(h_inits[0], 0, 1), q_rows[None])
+    hi1 = quantize_h_int8(jnp.swapaxes(h_inits[1], 0, 1), q_rows[None])
     bias = jnp.stack([p0["b_hh"], p1["b_ih"], p1["b_hh"]])
 
     tile_b = min(tile_b, round_up(batch, 8))
@@ -498,6 +505,7 @@ def _decode_sampling_pallas_int8(params, tick_ctx, h_inits, *, tile_b: int,
         ctx_xw = jnp.pad(ctx_xw, ((0, 0), (0, pad), (0, 0)))
         hi0 = jnp.pad(hi0, ((0, 0), (0, pad), (0, 0)))
         hi1 = jnp.pad(hi1, ((0, 0), (0, pad), (0, 0)))
+        q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)), constant_values=127.0)
     n_tiles = padded_b // tile_b
     grid = (n_tiles, NUM_TICKS)
 
@@ -515,8 +523,9 @@ def _decode_sampling_pallas_int8(params, tick_ctx, h_inits, *, tile_b: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # qscale (1,)
             pl.BlockSpec((1, tile_b, three_h), beat_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),  # per-row 127/bound
             pl.BlockSpec((1, tile_b, hidden), beat_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_b, hidden), beat_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((vocab_pad, three_h), const, memory_space=pltpu.VMEM),
@@ -546,7 +555,7 @@ def _decode_sampling_pallas_int8(params, tick_ctx, h_inits, *, tile_b: int,
             pltpu.VMEM((tile_b, three_h), dtype),
         ],
         interpret=interpret,
-    )(qscale, ctx_xw, hi0, hi1, tok_tab_q, x0_xw, whh0q, wih1q, whh1q,
+    )(ctx_xw, q_rows, hi0, hi1, tok_tab_q, x0_xw, whh0q, wih1q, whh1q,
       scales, bias, headq, head_s, head_b)
 
     logits = jnp.swapaxes(logits_t, 0, 1)[:batch, :, :vocab]

@@ -111,6 +111,27 @@ def test_decode_int8_unbounded_h_inits(monkeypatch):
     assert agree > 0.85, agree
 
 
+def test_decode_int8_per_row_bound_invariance():
+    """Round-5 structural invariance: the int8 quant bound is PER ROW, so
+    co-batching a row with an extreme |h_init| (adversarial selu output)
+    leaves every other row's logits and tokens bit-identical."""
+    from inpaintnet_tpu.ops.decode_pallas import decode_sampling_pallas_int8
+
+    dec, params, z, tick_ctx, h_inits = _setup(batch=8)
+    pw, ps = decode_sampling_pallas_int8(
+        params, tick_ctx, h_inits, tile_b=8, interpret=True
+    )
+    # append one adversarial row with init hiddens 50x out of range
+    ctx2 = jnp.concatenate([tick_ctx, tick_ctx[:1]], axis=0)
+    h2 = jnp.concatenate([h_inits, h_inits[:, :1] * 50.0], axis=1)
+    pw2, ps2 = decode_sampling_pallas_int8(
+        params, ctx2, h2, tile_b=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ps2)[:8], np.asarray(ps))
+    np.testing.assert_array_equal(np.asarray(pw2)[:8], np.asarray(pw))
+    assert np.isfinite(np.asarray(pw2)).all()
+
+
 @pytest.mark.parametrize("kw", [{"halves": 2}, {"pipelined": True}])
 def test_decode_variant_kernels_match_scan(kw):
     """The experiment knobs (interleaved halves, software-pipelined hw

@@ -102,6 +102,26 @@ def test_hetero_deterministic_and_seed_sensitivity(engine):
     np.testing.assert_array_equal(a[2], c[2])
 
 
+def test_int8_hetero_solo_equals_coalesced(monkeypatch):
+    """Round-5: the int8 decode kernel's quant bound is PER ROW
+    (ops/decode_pallas.py), so the solo == coalesced bit-equality
+    contract holds STRUCTURALLY for the TPU serving default dtype —
+    not just the bf16/f32 paths."""
+    monkeypatch.setenv("INPAINTNET_PALLAS_INTERPRET", "1")
+    from inpaintnet_tpu.models import measure_vae as mv
+
+    monkeypatch.setattr(mv.Encoder, "_use_pallas", lambda self, p: True)
+    monkeypatch.setattr(
+        mv.HierarchicalDecoder, "_use_pallas_decode", lambda self, p: True
+    )
+    eng = InpaintingEngine(_models(), batch_buckets=(8,), dtype="int8")
+    reqs = _reqs()
+    coalesced = eng.inpaint_hetero(reqs)
+    for req, got in zip(reqs, coalesced):
+        solo = eng.inpaint_hetero([req])[0]
+        np.testing.assert_array_equal(got, solo)
+
+
 def test_hetero_rejects_oversize(engine):
     with pytest.raises(ValueError, match="rows"):
         engine.inpaint_hetero([{

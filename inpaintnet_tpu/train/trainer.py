@@ -341,12 +341,16 @@ class Trainer(ABC):
         return mean_loss, mean_acc
 
     def train_model(self, batch_size, num_epochs, plot=False, log=False,
-                    split=(0.70, 0.20)):
+                    split=(0.70, 0.20), run_name=None):
         """(reference trainer.py:41-124). ``plot`` redraws live train/val
         loss+accuracy curves each epoch like the reference (interactive
         figure with a display; a PNG under ``runs/`` headless) and also
-        enables the JSONL metrics log."""
-        log = log or plot
+        enables the JSONL metrics log. ``run_name`` pins the metrics-log
+        filename (``runs/<run_name>.jsonl``): resumed runs append to ONE
+        stable per-model log instead of a fresh timestamped file, which is
+        what lets long schedules replay their validation history into the
+        early stopper (benchmarks/full_schedule.py)."""
+        log = log or plot or run_name is not None
         # multi-host: every process computes identically (SPMD), but only
         # process 0 may touch the shared filesystem — concurrent writes to
         # the same checkpoint/metrics paths corrupt them
@@ -355,7 +359,8 @@ class Trainer(ABC):
         live_plot = None
         if log and is_writer:
             os.makedirs("runs", exist_ok=True)
-            run_name = f"{type(self.model).__name__}_{int(time.time())}"
+            if run_name is None:
+                run_name = f"{type(self.model).__name__}_{int(time.time())}"
             metrics_path = os.path.join("runs", run_name + ".jsonl")
             if plot:
                 from inpaintnet_tpu.utils.plotting import LivePlot

@@ -12,6 +12,7 @@ from inpaintnet_tpu.models import (
     AnticipationRNNBaseline,
     ConstraintModelGaussianReg,
     LatentRNN,
+    LatentRNNAblations,
     MeasureVAE,
 )
 from inpaintnet_tpu.train.metrics import mean_accuracy, mean_crossentropy_loss
@@ -57,13 +58,23 @@ def _context_repeat_flags(score_2d, num_past, num_target, msl=24):
 
 def loss_and_acc_test(data_loader, latent_rnn_tester, arnn_tester,
                       arnn_baseline_tester=None, num_target_measures=2,
-                      num_models=4):
+                      num_models=4, ablation_testers=None):
     """(reference test_reconstruction.py:255-357); adds a context-repeat
-    accuracy breakdown per model (see _context_repeat_flags)."""
+    accuracy breakdown per model (see _context_repeat_flags).
+
+    ``ablation_testers`` — optional ``{name: LatentRNNTester}`` of
+    LatentRNNAblations (past-only / future-only conditioning, reference
+    train_inpaintnet_ablation.py:148) scored through the SAME stochastic
+    splits and fixed-span protocol as the main models, so the paper-style
+    comparison includes the ablation rows apples-to-apples."""
+    ablation_testers = ablation_testers or {}
     sums = {k: 0.0 for k in (
         "latent_rnn_loss", "latent_rnn_acc", "arnn_loss", "arnn_acc",
         "arnn_baseline_loss", "arnn_baseline_acc")}
-    grp = {m: np.zeros(4) for m in ("latent_rnn", "arnn", "arnn_baseline")}
+    for name in ablation_testers:
+        sums[f"{name}_loss"] = sums[f"{name}_acc"] = 0.0
+    grp = {m: np.zeros(4) for m in (
+        "latent_rnn", "arnn", "arnn_baseline", *ablation_testers)}
     # per model: [repeat_correct, repeat_total, novel_correct, novel_total]
     nb = 0
     msl = 24
@@ -105,25 +116,30 @@ def loss_and_acc_test(data_loader, latent_rnn_tester, arnn_tester,
             l, a = arnn_eval("arnn", arnn_tester)
             sums["arnn_loss"] += l
             sums["arnn_acc"] += a
-        if num_models >= 2:
+        def latent_eval(name, tester):
             past, pm, future, fm, target, tm = latent_batch
-            weights, _, _ = latent_rnn_tester._fwd(
-                latent_rnn_tester.model.params,
-                latent_rnn_tester.model.vae_model.params,
+            weights, _, _ = tester._fwd(
+                tester.model.params,
+                tester.model.vae_model.params,
                 past, pm, future, fm, target, tm, jax.random.fold_in(key, i),
             )
             tick_mask = tm[:, :, None] * np.ones((1, 1, 24))
-            sums["latent_rnn_loss"] += float(
+            sums[f"{name}_loss"] += float(
                 mean_crossentropy_loss(weights, target, mask=tick_mask)
             )
-            sums["latent_rnn_acc"] += float(
+            sums[f"{name}_acc"] += float(
                 mean_accuracy(weights, target, mask=tick_mask)
             )
             # the packed target rows 0..num_target-1 are measures
             # num_past..num_past+num_target-1 (fixed-size stochastic split)
             pred = np.asarray(np.argmax(weights, axis=-1))
             corr = (pred == np.asarray(target))[:, :num_target_measures]
-            accumulate("latent_rnn", corr)
+            accumulate(name, corr)
+
+        if num_models >= 2:
+            latent_eval("latent_rnn", latent_rnn_tester)
+        for name, tester in ablation_testers.items():
+            latent_eval(name, tester)
         if num_models >= 4 and arnn_baseline_tester is not None:
             l, a = arnn_eval("arnn_baseline", arnn_baseline_tester)
             sums["arnn_baseline_loss"] += l
@@ -164,6 +180,11 @@ def loss_and_acc_test(data_loader, latent_rnn_tester, arnn_tester,
 @click.option('--batch_size', default=512)
 @click.option('--num_target', default=2, help='fixed number of target measures')
 @click.option('--num_models', default=4)
+@click.option('--include_ablations', default='',
+              help='comma list of LatentRNNAblations context types '
+                   '("past","future") to score as extra rows; their '
+                   'checkpoints must exist (train_inpaintnet_ablation.py '
+                   'or benchmarks/full_schedule.py ablation phase)')
 @dataset_options
 def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          encoder_hidden_size, encoder_dropout_prob, has_metadata,
@@ -171,7 +192,7 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
          decoder_dropout_prob, num_latent_rnn_layers, latent_rnn_hidden_size,
          latent_rnn_dropout_prob, num_layers, lstm_hidden_size, dropout_lstm,
          input_dropout, linear_hidden_size, batch_size, num_target,
-         num_models, dataset_name, corpus_dir, cache_dir):
+         num_models, include_ablations, dataset_name, corpus_dir, cache_dir):
     folk_dataset_train, folk_dataset_test = standard_datasets(
         dataset_name, cache_dir=cache_dir, corpus_dir=corpus_dir
     )
@@ -199,6 +220,21 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
     )
     latent_rnn.init(jax.random.PRNGKey(1))
     latent_rnn.load()
+
+    ablation_testers = {}
+    for ctx_type in [s for s in include_ablations.split(',') if s]:
+        abl = LatentRNNAblations(
+            dataset=folk_dataset_train, vae_model=vae_model,
+            num_rnn_layers=num_latent_rnn_layers,
+            rnn_hidden_size=latent_rnn_hidden_size,
+            dropout=latent_rnn_dropout_prob, auto_reg=False,
+            teacher_forcing=True, type=ctx_type,
+        )
+        abl.init(jax.random.PRNGKey(1))
+        abl.load()
+        ablation_testers[f"ablation_{ctx_type}"] = LatentRNNTester(
+            folk_dataset_test, abl
+        )
 
     def build_arnn(cls):
         m = cls(
@@ -230,6 +266,7 @@ def main(note_embedding_dim, metadata_embedding_dim, num_encoder_layers,
     results = loss_and_acc_test(
         gen_test, latent_tester, arnn_tester, arnn_baseline_tester,
         num_target_measures=num_target, num_models=num_models,
+        ablation_testers=ablation_testers,
     )
     for k, v in results.items():
         print(f"{k}: {v}")

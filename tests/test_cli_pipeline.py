@@ -111,6 +111,17 @@ def test_arnn_and_joint_eval(workdir):
             "--no_log", "--no_plot", "--no_early_stop",
         )
         assert "Test Loss" in out
+    # past-only ablation (reference train_inpaintnet_ablation.py:148):
+    # train tiny, then score it as an extra joint-eval row
+    out = _run(
+        workdir, "train_inpaintnet_ablation.py",
+        *TINY, *TINY_LATENT, *common,
+        "--metadata_embedding_dim", "4",
+        "--batch_size", "4", "--num_epochs", "1",
+        "--no_log", "--no_plot", "--no_early_stop", "--no_auto_reg",
+        "--context_type", "past",
+    )
+    assert "Test Loss" in out
     out = _run(
         workdir, "test_reconstruction.py",
         *TINY, *TINY_LATENT,
@@ -119,8 +130,10 @@ def test_arnn_and_joint_eval(workdir):
         "--linear_hidden_size", "12",
         *common,
         "--batch_size", "4", "--num_target", "2",
+        "--include_ablations", "past",
     )
     assert "latent_rnn_loss" in out and "arnn_loss" in out
+    assert "ablation_past_loss" in out and "ablation_past_acc" in out
     # all four checkpoints exist now: run the listening-test batch generator
     out = _run(
         workdir, "script_gen_diff_models.py",

@@ -205,12 +205,26 @@ class Trainer(ABC):
         self.mesh = make_mesh(
             num_devices=new_data * model_axis, data=new_data, model=model_axis
         )
-        # the recurrence default may depend on the mesh (kernels need a
-        # single-device mesh — GSPMD can't partition Pallas custom calls)
+        # the recurrence default may consult the mesh
         if not os.environ.get("INPAINTNET_TRAIN_GRU_IMPL"):
             self.train_gru_impl = self.default_train_gru_impl()
+        # the shard_map train step closes over the mesh — rebuild steps
+        self._train_step = self._eval_step = None
 
     # --- jitted steps -------------------------------------------------------- #
+    def _use_shard_map_train(self) -> bool:
+        """Pallas kernels lower to custom calls GSPMD cannot partition, so
+        on a multi-device mesh a kernel-bearing train step must run under
+        an explicit ``jax.shard_map`` — each device traces the WHOLE
+        program (kernels included) on its local batch rows, exactly like
+        the serving layer's mesh path (serve.py ``_shard_mapped``)."""
+        return (
+            self.train_gru_impl is not None
+            and "pallas" in str(self.train_gru_impl)
+            and self.mesh is not None
+            and self.mesh.devices.size > 1
+        )
+
     def _build_steps(self):
         optimizer = self.optimizer
 
@@ -224,8 +238,9 @@ class Trainer(ABC):
 
             return cast_pytree(tree, jnp.dtype(compute_dtype))
 
-        def train_step(params, opt_state, batch_data, rng, extra):
-            trainable = self.trainable_params(params)
+        from inpaintnet_tpu.ops.gru import gru_impl_scope
+
+        def value_and_grads(params, trainable, batch_data, rng, extra):
             # frozen auxiliaries (e.g. LatentRNN's frozen VAE — the
             # dominant compute) follow the compute dtype too
             extra = maybe_cast(extra) if extra is not None else None
@@ -237,8 +252,6 @@ class Trainer(ABC):
                 )
                 return loss, metrics
 
-            from inpaintnet_tpu.ops.gru import gru_impl_scope
-
             # scoped trace-time recurrence selection: the TRAINING
             # forward/backward uses self.train_gru_impl (e.g. the
             # minimal-residual "trainfast" VJP, ops/gru_trainfast.py)
@@ -247,9 +260,51 @@ class Trainer(ABC):
             # trace when the cotangent pass is built, after the loss
             # body returns, so a loss-body-only scope would miss them
             with gru_impl_scope(self.train_gru_impl):
-                (loss, metrics), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(trainable)
+                return jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+
+        if self._use_shard_map_train():
+            from jax.sharding import PartitionSpec as P
+
+            def grads_per_shard(params, trainable, batch_data, rng, extra):
+                # decorrelate per-shard randomness (dropout masks, rsample
+                # noise) like the serving mesh path; note the per-batch TF
+                # coin (HierarchicalDecoder quirk) becomes per-SHARD here —
+                # each shard flips its own coin over its local rows
+                key = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+                (loss, metrics), grads = value_and_grads(
+                    params, trainable, batch_data, key, extra
+                )
+                # equal shard sizes: mean of per-shard batch means == the
+                # global batch mean, so loss/metrics/grads match the GSPMD
+                # formulation exactly (up to fp reassociation)
+                loss = jax.lax.pmean(loss, "data")
+                metrics = {
+                    k: None if v is None else jax.lax.pmean(v, "data")
+                    for k, v in metrics.items()
+                }
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.pmean(g, "data"), grads
+                )
+                return loss, metrics, grads
+
+            sharded_grads = jax.shard_map(
+                grads_per_shard,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P("data"), P(), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+
+        def train_step(params, opt_state, batch_data, rng, extra):
+            trainable = self.trainable_params(params)
+            if self._use_shard_map_train():
+                loss, metrics, grads = sharded_grads(
+                    params, trainable, batch_data, rng, extra
+                )
+            else:
+                (loss, metrics), grads = value_and_grads(
+                    params, trainable, batch_data, rng, extra
+                )
             updates, opt_state = optimizer.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             return self.merge_params(params, trainable), opt_state, loss, metrics
@@ -267,11 +322,11 @@ class Trainer(ABC):
     # --- epoch machinery ---------------------------------------------------- #
     def loss_and_acc_on_epoch(self, data_loader, epoch_num=None, train=True):
         """(reference trainer.py:126-163)"""
+        if hasattr(data_loader, "batch_size"):
+            self._fit_mesh_to_batch_size(data_loader.batch_size)
         if self._train_step is None:
             self._build_steps()
         losses, accs = [], []
-        if hasattr(data_loader, "batch_size"):
-            self._fit_mesh_to_batch_size(data_loader.batch_size)
         params = replicate(self.mesh, self.model.params)
         opt_state = self.opt_state
         extra = self.extra_params()

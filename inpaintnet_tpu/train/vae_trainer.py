@@ -28,15 +28,15 @@ class VAETrainer(Trainer):
         land in the kernels' large-row regime. Opt out with
         INPAINTNET_TRAIN_GRU_IMPL=xla.
 
-        Single-device meshes only: the train step is GSPMD-jitted, and
-        GSPMD cannot partition Pallas custom calls — multi-chip training
-        keeps the scan (the serving layer runs kernels under an explicit
-        shard_map instead; parallel/mesh.py design note)."""
+        Multi-device meshes keep the kernels too: the base trainer swaps
+        the GSPMD-jitted grad computation for an explicit ``jax.shard_map``
+        over the data axis (Trainer._use_shard_map_train — GSPMD cannot
+        partition Pallas custom calls, so each device runs the whole
+        kernel-bearing program on its local rows, mirroring the serving
+        layer's mesh path)."""
         import jax
 
         if jax.default_backend() != "tpu":
-            return None
-        if self.mesh is not None and self.mesh.devices.size > 1:
             return None
         return "trainfast_pallas"
 

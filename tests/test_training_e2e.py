@@ -381,7 +381,11 @@ def test_vae_train_step_trainfast_pallas_matches_default(env, monkeypatch):
             monkeypatch.delenv("INPAINTNET_TRAIN_GRU_IMPL", raising=False)
         model = _tiny_vae(ds, ckpt)
         model.init(jax.random.PRNGKey(3))
-        trainer = VAETrainer(ds, model, lr=3e-3)
+        # single-device mesh: this test is about kernel-vs-scan MATH
+        # parity in the jit path; the multi-device shard_map routing
+        # (which decorrelates per-shard rng) is tests/test_mesh_trainfast
+        trainer = VAETrainer(ds, model, lr=3e-3,
+                             mesh=make_mesh(num_devices=1))
         trainer._build_steps()
         score = np.asarray(ds.arrays[0][:4])
         bd = trainer.process_batch_data((score, None))

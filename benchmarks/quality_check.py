@@ -20,6 +20,16 @@ actual argmax decisions). The AnticipationRNN baseline family is
 evaluated the same way (fixed 6/4/6 constraint span, f32 scan vs the
 fused bf16 kernel). Training state is cached in the workdir; delete it
 to retrain.
+
+QUALITY GATE: when the harness runs at the flagship signature recorded
+in ``benchmarks/quality_expected.json`` (the documented PERFORMANCE.md
+configuration), every row is checked against stored bounds — absolute
+f32 accuracy floors, per-config |accuracy - f32| deltas, and token-
+agreement floors — and the process exits nonzero listing violations, so
+kernel/serving changes cannot silently damage quality. ``QC_GATE=0``
+disables; ``QC_GATE=1`` forces arming even off-signature (bounds were
+chosen for the flagship signature, so expect false failures on tiny
+smoke runs).
 """
 from __future__ import annotations
 
@@ -219,6 +229,74 @@ def eval_config(model, vae, batch_args, dtype, env=None, label=""):
                 os.environ[k] = v
 
 
+def harness_signature():
+    return (
+        f"style={STYLE},tunes={NUM_TUNES},hidden={HIDDEN},z={Z_DIM},"
+        f"arnn_hidden={ARNN_HIDDEN},vae_epochs={VAE_EPOCHS},"
+        f"rnn_epochs={RNN_EPOCHS},arnn_epochs={ARNN_EPOCHS},"
+        f"eval_batch={EVAL_BATCH}"
+    )
+
+
+def run_gate(metrics):
+    """Check collected {family: {label: {acc, agree}}} rows against the
+    stored bounds; return (armed, violation strings)."""
+    import json
+
+    expected_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "quality_expected.json"
+    )
+    with open(expected_path) as f:
+        expected = json.load(f)
+
+    mode = os.environ.get("QC_GATE", "auto")
+    if mode == "0":
+        print("quality gate: disabled (QC_GATE=0)")
+        return False, []
+    on_signature = harness_signature() == expected["signature"]
+    if not on_signature and mode != "1":
+        print(
+            "quality gate: skipped — signature mismatch\n"
+            f"  run:      {harness_signature()}\n"
+            f"  expected: {expected['signature']}\n"
+            "  (bounds are calibrated for the flagship signature; "
+            "QC_GATE=1 forces)"
+        )
+        return False, []
+
+    violations = []
+    for family, rows in expected.items():
+        if family.startswith("_") or family == "signature":
+            continue
+        got_rows = metrics.get(family, {})
+        f32_acc = got_rows.get("xla-f32", {}).get("acc")
+        for label, bounds in rows.items():
+            got = got_rows.get(label)
+            if got is None:
+                violations.append(f"{family}/{label}: row missing from run")
+                continue
+            if "acc_min" in bounds and got["acc"] < bounds["acc_min"]:
+                violations.append(
+                    f"{family}/{label}: accuracy {got['acc']:.4f} < "
+                    f"floor {bounds['acc_min']}"
+                )
+            if "acc_delta_max" in bounds and f32_acc is not None:
+                delta = abs(got["acc"] - f32_acc)
+                if delta > bounds["acc_delta_max"]:
+                    violations.append(
+                        f"{family}/{label}: |acc - f32| = {delta:.4f} > "
+                        f"{bounds['acc_delta_max']} "
+                        f"({got['acc']:.4f} vs {f32_acc:.4f})"
+                    )
+            if "agree_min" in bounds and got.get("agree") is not None:
+                if got["agree"] < bounds["agree_min"]:
+                    violations.append(
+                        f"{family}/{label}: token agreement "
+                        f"{got['agree']:.4f} < floor {bounds['agree_min']}"
+                    )
+    return True, violations
+
+
 def main():
     import jax
 
@@ -264,14 +342,18 @@ def main():
           "INPAINTNET_SERVE_QUANT": "int8"}),
     ]
     results = {}
+    metrics = {"latent": {}}
     for label, dtype, env in configs:
         samples = eval_config(model, vae, batch_args, dtype, env, label)
         results[label] = samples
         acc = ((samples == t) * tgt_mask).sum() / tgt_mask.sum()
         line = f"{label:>12}: inpaint accuracy {acc:.4f}"
+        row = {"acc": float(acc), "agree": None}
         if label != "xla-f32":
             agree = ((samples == results["xla-f32"]) * tgt_mask).sum() / tgt_mask.sum()
             line += f"  token agreement vs f32 {agree:.4f}"
+            row["agree"] = float(agree)
+        metrics["latent"][label] = row
         print(line)
 
     # --- AnticipationRNN family (baseline models) ----------------------- #
@@ -310,6 +392,7 @@ def main():
         train_arnn_if_needed(ds, arnn, tr_cls)
         arnn.params = jax.device_get(arnn.params)
         ref = None
+        metrics[name] = {}
         for label, dtype, env in [
             ("xla-f32", "float32", {"INPAINTNET_ARNN_IMPL": "xla"}),
             ("pallas-bf16", "bfloat16", {"INPAINTNET_ARNN_IMPL": "pallas"}),
@@ -317,12 +400,24 @@ def main():
             gen = eval_arnn_config(arnn, score_flat, md_flat, loc, dtype, env)
             acc = (gen[:, span] == score_flat[:, span]).mean()
             line = f"{name + ' ' + label:>25}: span accuracy {acc:.4f}"
+            row = {"acc": float(acc), "agree": None}
             if ref is None:
                 ref = gen
             else:
                 agree = (gen[:, span] == ref[:, span]).mean()
                 line += f"  token agreement vs f32 {agree:.4f}"
+                row["agree"] = float(agree)
+            metrics[name][label] = row
             print(line)
+
+    armed, violations = run_gate(metrics)
+    if violations:
+        print("QUALITY GATE FAILED:")
+        for v in violations:
+            print("  -", v)
+        sys.exit(1)
+    if armed:
+        print("quality gate: PASS (all rows within expected bounds)")
 
 
 if __name__ == "__main__":

@@ -268,6 +268,9 @@ def test_quality_check_harness_smoke(tmp_path):
     assert out.stdout.count("inpaint accuracy") == 3, out.stdout
     assert out.stdout.count("span accuracy") == 4, out.stdout
     assert "token agreement vs f32" in out.stdout
+    # off the flagship signature the gate disarms rather than failing
+    # tiny runs against flagship bounds (round-5 verdict #8)
+    assert "quality gate: skipped" in out.stdout, out.stdout
     # second run reuses the cached checkpoints
     out2 = subprocess.run(
         [sys.executable,

@@ -32,9 +32,14 @@ N_PAST, N_TARGET, N_FUTURE = 6, 4, 6
 # #7 — the serving steady state keeps the queue deep).
 WARMUP, ITERS, REPS = 30, 40, 3
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-# The CPU denominator uses a smaller batch (eager-CPU throughput is roughly
-# batch-linear here and the full 512 takes tens of minutes).
-CPU_BATCH, CPU_ITERS = 64, 2
+# The CPU denominator runs the ACTUAL headline-batch program (no
+# batch-linear extrapolation): ~2.8 min/iter on this machine class, so
+# the measured result is cached (and committed) in bench_baseline.json;
+# a fresh machine re-measures once (~8 min). CPU_BATCH is overridable
+# for quick smoke (BENCH_CPU_BATCH=64 reproduces the old extrapolated
+# denominator, labeled as such in the cache).
+CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", str(BATCH)))
+CPU_ITERS = 2
 
 
 def measure_throughput(batch: int = BATCH, iters: int = ITERS,
@@ -211,10 +216,9 @@ def cpu_baseline() -> float:
         )
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        # warmup=2: the 30-call TPU-executable ramp does not apply to the
-        # eager-CPU denominator, and 30 extra CPU iterations would add
-        # several minutes for nothing
-        "import bench, json; r = bench.measure_throughput(bench.CPU_BATCH, bench.CPU_ITERS, measure_latency=False, warmup=2);"
+        # warmup=1: the 30-call TPU-executable ramp does not apply to the
+        # eager-CPU denominator; one warmup absorbs compile
+        "import bench, json; r = bench.measure_throughput(bench.CPU_BATCH, bench.CPU_ITERS, measure_latency=False, warmup=1);"
         "print('@@'+json.dumps(r))"
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -229,10 +233,11 @@ def cpu_baseline() -> float:
     r = json.loads(line[-1][2:])
     r["signature"] = _baseline_signature()
     r["iters"] = CPU_ITERS
-    # the denominator is measured at CPU_BATCH and assumed batch-linear up
-    # to the TPU batch (eager-CPU RNN stepping has no batching economies
-    # of scale at these sizes); recorded so vs_baseline stays honest
+    # labeled honestly either way: the default measures the headline
+    # batch itself; a BENCH_CPU_BATCH override extrapolates batch-linearly
     r["extrapolation"] = (
+        f"measured at the headline batch ({BATCH}) x {CPU_ITERS} iters"
+        if CPU_BATCH == BATCH else
         f"measured at batch {CPU_BATCH} x {CPU_ITERS} iters; assumed "
         f"batch-linear vs the TPU batch ({BATCH})"
     )
@@ -246,9 +251,12 @@ def main():
     try:
         base = cpu_baseline()
         vs = result["measures_per_sec"] / base
+        with open(BASELINE_CACHE) as f:
+            base_label = json.load(f)["extrapolation"]
     except Exception as e:  # noqa: BLE001 — baseline is best-effort
         print(f"warning: cpu baseline unavailable: {e}", file=sys.stderr)
         vs = None
+        base_label = None
     print(
         json.dumps(
             {
@@ -269,10 +277,7 @@ def main():
                     "batch": result["batch"],
                     "step_ms": round(result["step_ms"], 2),
                     "serve_quant": result["serve_quant"],
-                    "cpu_baseline": (
-                        f"measured at batch {CPU_BATCH} x {CPU_ITERS} "
-                        "iters, extrapolated batch-linearly"
-                    ),
+                    "cpu_baseline": base_label,
                 },
             }
         )

@@ -232,7 +232,9 @@ def main():
 
         from inpaintnet_tpu.ops.gru import gru_impl_scope
 
-        for impl in ("xla", "trainfast"):
+        # "trainfast_pallas" == the ADOPTED config (round-4: trainfast
+        # custom-VJP + Pallas fwd-stream AND sequential-backward kernels)
+        for impl in ("xla", "trainfast", "trainfast_pallas"):
             print(f"-- recurrence impl: {impl} --")
             for name, fn in (("encoder", enc_fwd), ("decoder", dec_fwd),
                              ("full loss", full_loss)):
@@ -249,6 +251,49 @@ def main():
                     p16, toks, iters=10,
                 )
                 print(f"{name:10s} fwd {t_f:6.2f} ms   fwd+bwd {t_fb:6.2f} ms")
+
+        # non-recurrence components of the step (round-5 verdict #4):
+        # masked f32 CE at vocab width, the adam update + apply at
+        # parameter count, and the dropout-mask generation the training
+        # forward pays per step
+        print("-- non-recurrence components --")
+        from inpaintnet_tpu.train.metrics import mean_crossentropy_loss
+
+        logits = jnp.zeros((rows, T, V), jnp.bfloat16)
+
+        def ce(lg, t):
+            return mean_crossentropy_loss(lg, t)
+
+        print(f"{'CE loss':10s} fwd "
+              f"{timeit(jax.jit(ce), logits, toks, iters=10):6.2f} ms   "
+              "fwd+bwd "
+              f"{timeit(jax.jit(lambda lg, t: jax.value_and_grad(lambda l: ce(l.astype(jnp.float32), t))(lg)[0]), logits, toks, iters=10):6.2f} ms")
+
+        import optax
+
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(p16)
+
+        def adam_step(p, s):
+            g = jax.tree_util.tree_map(jnp.ones_like, p)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u)
+
+        print(f"{'adam':10s} upd "
+              f"{timeit(jax.jit(adam_step), p16, opt_state, iters=10):6.2f} ms"
+              "   (update+apply on ones-grads, full param tree)")
+
+        def dropmasks(k):
+            ks = jax.random.split(k, 6)
+            # encoder inter-layer (B,T,2H) + decoder tick/beat layers (B,T,H)x4
+            ms = [jax.random.bernoulli(ks[0], 0.5, (rows, T, 2 * H))]
+            ms += [jax.random.bernoulli(ks[i], 0.5, (rows, T, H))
+                   for i in range(1, 5)]
+            return sum(m.sum() for m in ms)
+
+        print(f"{'dropout':10s} gen "
+              f"{timeit(jax.jit(dropmasks), key, iters=10):6.2f} ms"
+              "   (bernoulli masks at step shapes)")
 
     if "latent" in sections:
         print("=== LatentRNN train step (frozen VAE fwd + gen-path bwd) ===")

@@ -72,19 +72,23 @@ def timeit_train_step(train_step, params, opt, bd, key, extra,
     return best
 
 
+class _DS:
+    """Minimal dataset stub carrying just the attributes model
+    construction reads (also imported by bench_shardmap_train.py)."""
+
+    note2index_dicts = [{f"t{i}": i for i in range(V)}]
+    n_bars = 16
+    subdivision = 6
+    num_beats_per_bar = 4
+
+    def __repr__(self):
+        return "BenchTrainDS"
+
+
 def main():
     from inpaintnet_tpu.models.presets import build_flagship
     from inpaintnet_tpu.train import LatentRNNTrainer, VAETrainer
     from inpaintnet_tpu.train.latent_rnn_trainer import pack_padded, split_score
-
-    class _DS:
-        note2index_dicts = [{f"t{i}": i for i in range(V)}]
-        n_bars = 16
-        subdivision = 6
-        num_beats_per_bar = 4
-
-        def __repr__(self):
-            return "BenchTrainDS"
 
     sections = set(sys.argv[1:]) or {"vae", "latent", "enc"}
     ds = _DS()

@@ -112,6 +112,22 @@ class Trainer(ABC):
         if early_stopping:
             self.early_stopper = EarlyStopping()
         self.rng = RngStream(seed)
+        # per-STEP keys: the TPU hardware RNG (rbg) by default on TPU —
+        # threefry key derivation inside the jitted step (the splits and
+        # fold_ins feeding dropout masks, rsample noise, the TF coin)
+        # costs real step time at the flagship VAE shape (79.0 -> 69.0
+        # ms/step, 1.146x; PERFORMANCE.md "Training recurrence A/B").
+        # Param INIT above stays threefry so seeded init draws are
+        # backend-independent; INPAINTNET_TRAIN_RNG=threefry opts out,
+        # and on CPU step_rng IS self.rng (identical key sequence, so
+        # seeded CPU runs and tests are byte-stable across this change).
+        step_impl = os.environ.get("INPAINTNET_TRAIN_RNG") or (
+            "rbg" if jax.default_backend() == "tpu" else "threefry"
+        )
+        self.step_rng = (
+            self.rng if step_impl == "threefry"
+            else RngStream(seed, impl=step_impl)
+        )
         self.seed = seed
         self.mesh = mesh if mesh is not None else make_mesh()
         # training-forward recurrence impl (gru_impl_scope around the
@@ -217,12 +233,23 @@ class Trainer(ABC):
         on a multi-device mesh a kernel-bearing train step must run under
         an explicit ``jax.shard_map`` — each device traces the WHOLE
         program (kernels included) on its local batch rows, exactly like
-        the serving layer's mesh path (serve.py ``_shard_mapped``)."""
+        the serving layer's mesh path (serve.py ``_shard_mapped``).
+
+        On TPU the wrapper is used even on a SINGLE-device mesh: measured
+        1.095x faster than the plain GSPMD-jitted step at the flagship
+        VAE shape (86.7 -> 79.2 ms/step — benchmarks/bench_shardmap_train
+        .py, A/B interleaved), i.e. the explicit formulation is free-to-
+        negative-cost, so multi-chip and single-chip share one code path.
+        CPU keeps the plain jit at size 1 (kernel gates are TPU-only and
+        the tiny-shape tests pin exact jit-path math)."""
+        import jax
+
+        if self.train_gru_impl is None or "pallas" not in str(
+            self.train_gru_impl
+        ) or self.mesh is None:
+            return False
         return (
-            self.train_gru_impl is not None
-            and "pallas" in str(self.train_gru_impl)
-            and self.mesh is not None
-            and self.mesh.devices.size > 1
+            self.mesh.devices.size > 1 or jax.default_backend() == "tpu"
         )
 
     def _build_steps(self):
@@ -369,7 +396,7 @@ class Trainer(ABC):
                     )
             else:
                 batch_data = shard_batch(self.mesh, batch_data)
-            key = self.rng.next()
+            key = self.step_rng.next()
             if train:
                 params, opt_state, loss, metrics = self._train_step(
                     params, opt_state, batch_data, key, extra

@@ -21,12 +21,12 @@ class VAETrainer(Trainer):
     def default_train_gru_impl(self):
         """On TPU: the trainfast custom-VJP layer with BOTH Pallas
         kernels (gate-emitting forward stream + sequential-backward) —
-        measured 1.19x the default checkpointed scan at the flagship
-        4096-row step (103.9 -> 87.1 ms/step bf16, docs/PERFORMANCE.md
-        round-4 "Training recurrence A/B"). VAE training always runs
-        n_bars measure-rows per window, so even modest window batches
-        land in the kernels' large-row regime. Opt out with
-        INPAINTNET_TRAIN_GRU_IMPL=xla.
+        with the shard_map step and rbg step keys the flagship 4096-row
+        step runs 69.0 ms/step bf16, 1.51x the round-3 checkpointed scan
+        (docs/PERFORMANCE.md "Training recurrence A/B" + the round-5
+        decomposition). VAE training always runs n_bars measure-rows per
+        window, so even modest window batches land in the kernels'
+        large-row regime. Opt out with INPAINTNET_TRAIN_GRU_IMPL=xla.
 
         Multi-device meshes keep the kernels too: the base trainer swaps
         the GSPMD-jitted grad computation for an explicit ``jax.shard_map``

@@ -18,9 +18,16 @@ class RngStream:
     steps, keys are threaded functionally.
     """
 
-    def __init__(self, seed_or_key):
+    def __init__(self, seed_or_key, impl: str | None = None):
+        """``impl`` picks the key implementation for int seeds (e.g.
+        ``"rbg"`` for the TPU hardware RNG — key DERIVATION inside a
+        jitted step is then near-free where threefry pays a hash per
+        split/fold_in); None keeps the jax default (threefry)."""
         if isinstance(seed_or_key, int):
-            self._key = jax.random.PRNGKey(seed_or_key)
+            if impl is None:
+                self._key = jax.random.PRNGKey(seed_or_key)
+            else:
+                self._key = jax.random.key(seed_or_key, impl=impl)
         else:
             self._key = seed_or_key
 

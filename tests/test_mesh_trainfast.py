@@ -75,7 +75,9 @@ def test_use_shard_map_predicate(env):
     model.init(jax.random.PRNGKey(0))
     t1 = VAETrainer(ds, model, mesh=make_mesh(num_devices=1))
     t1.train_gru_impl = "trainfast_pallas"
-    assert not t1._use_shard_map_train()  # single device: plain jit
+    # single device ON CPU: plain jit (on TPU the wrapper wins even at one
+    # device — bench_shardmap_train.py — but these tests run CPU)
+    assert not t1._use_shard_map_train()
     t8 = VAETrainer(ds, model, mesh=make_mesh(num_devices=8))
     t8.train_gru_impl = "trainfast_pallas"
     assert t8._use_shard_map_train()
